@@ -1,0 +1,208 @@
+"""Image-based-rendering epilogue.
+
+The per-pixel tail of the reference forward kernel (forward.cu:496-663):
+median plane-intersection depth from the buffer, reprojection of every
+buffer entry into each source view with bilinear colour sampling, occlusion
+testing of the median point against cached source depth maps, per-valid-view
+packed warped colours + camera features, and the world-space viewing ray.
+
+On TPU this stage is pure `jnp`: the bilinear samples are gathers (XLA's
+gather replaces CUDA layered textures), and JAX autodiff supplies the
+backward chain the reference hand-derives (backward.cu:692-767: bilinear
+texture gradients → projection Jacobian dp/dd → plane parameters).
+
+Gradient-flow parity notes (matching the reference autograd contract,
+diff_plane_rasterization/__init__.py:117-250):
+  * source images / source depths / ref-to-src transforms / source camera
+    positions are constants (stop_gradient);
+  * `cam_feat`, `camera_ray`, `min_depth_diff` and the validity outputs
+    carry no gradient (the CUDA op returns no grads for them);
+  * `warped_image` and `median_depth` are differentiable w.r.t. the buffer
+    depths/weights, which the blend VJP chains to plane params and alphas.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from ibgs_tpu.core.camera import Camera
+from ibgs_tpu.ops.blend_common import BlendOutputs
+
+EPS = 1.0e-8
+
+
+@struct.dataclass
+class SourceViews:
+    """A stack of S source (training) views for the image-based path."""
+    images: jnp.ndarray      # (S, H, W, 3) colours
+    depths: jnp.ndarray      # (S, H, W) cached rendered depths
+    ref_to_src: jnp.ndarray  # (S, 4, 4) reference-camera → source-camera
+    cam_pos: jnp.ndarray     # (S, 3) world-space source centres
+    count: jnp.ndarray       # () int32 number of real views (<= S)
+
+
+@struct.dataclass
+class IBROutputs:
+    median_depth: jnp.ndarray     # (H, W)
+    camera_ray: jnp.ndarray       # (H, W, 3) world ray through median point
+    warped_image: jnp.ndarray     # (S, H, W, 3) packed by valid order
+    cam_feat: jnp.ndarray         # (S, H, W, 4) packed (Δcam-pos, ray-dot)
+    min_depth_diff: jnp.ndarray   # (H, W)
+    valid_src_index: jnp.ndarray  # (S, H, W) int32, -1 padded
+    valid_src_weight: jnp.ndarray  # (S, H, W) per-view buffer-weight sums
+    use_first_src_mask: jnp.ndarray  # (H, W) int32
+    low_contrib: jnp.ndarray      # (H, W) int32 median-window low (bwd cache)
+    high_contrib: jnp.ndarray     # (H, W) int32 median-window high
+
+
+def bilinear_sample(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Clamped bilinear sampling. img: (H, W, C) or (H, W); u, v: pixel coords.
+
+    Matches the layered-texture path of the reference (texel-centre
+    convention with clamp-to-edge addressing, forward.cu:550).
+    """
+    H, W = img.shape[0], img.shape[1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    x0 = jnp.clip(u0.astype(jnp.int32), 0, W - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y0 = jnp.clip(v0.astype(jnp.int32), 0, H - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    i00 = img[y0, x0]
+    i01 = img[y0, x1]
+    i10 = img[y1, x0]
+    i11 = img[y1, x1]
+    if img.ndim == 3:
+        fu = fu[..., None]
+        fv = fv[..., None]
+    return ((1 - fu) * (1 - fv) * i00 + fu * (1 - fv) * i01
+            + (1 - fu) * fv * i10 + fu * fv * i11)
+
+
+def median_depth_only(blend: BlendOutputs) -> jnp.ndarray:
+    """Depth-only epilogue (forward.cu:507-510)."""
+    tot = blend.buf_weight.sum(-1)
+    return (blend.buf_weight * blend.buf_depth).sum(-1) / (tot + EPS)
+
+
+def ibr_epilogue(
+    blend: BlendOutputs,
+    cam: Camera,
+    src: SourceViews,
+    depth_error_threshold: float = 0.01,
+) -> IBROutputs:
+    H, W = blend.final_t.shape
+    S = src.images.shape[0]
+
+    images = lax.stop_gradient(src.images)
+    depths = lax.stop_gradient(src.depths)
+    r2s = lax.stop_gradient(src.ref_to_src)
+    src_pos = lax.stop_gradient(src.cam_pos)
+
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    pdx = (gx - cam.cx) / cam.fx   # (H, W)
+    pdy = (gy - cam.cy) / cam.fy
+
+    bw = blend.buf_weight            # (H, W, B)
+    bd = blend.buf_depth
+    used = bw != 0.0
+
+    # --- per-buffer-entry reprojection & colour warping (forward.cu:520-563)
+    pt = jnp.stack([pdx[..., None] * bd, pdy[..., None] * bd, bd], axis=-1)
+    q = (jnp.einsum("sij,hwbj->shwbi", r2s[:, :3, :3], pt)
+         + r2s[:, :3, 3][:, None, None, None, :])          # (S,H,W,B,3)
+    inv_z = 1.0 / (q[..., 2] + EPS)
+    pu = q[..., 0] * cam.fx * inv_z + cam.cx               # (S,H,W,B)
+    pv = q[..., 1] * cam.fy * inv_z + cam.cy
+    inb = (pu >= 0.0) & (pu <= W - 1.0) & (pv >= 0.0) & (pv <= H - 1.0)
+
+    colors = jnp.stack(
+        [bilinear_sample(images[s], pu[s], pv[s]) for s in range(S)], axis=0
+    )  # (S,H,W,B,3)
+    w_eff = bw[None] * inb.astype(bw.dtype)                 # (S,H,W,B)
+    wsum_color = (colors * w_eff[..., None]).sum(axis=3)    # (S,H,W,3)
+    wsum = w_eff.sum(axis=3)                                # (S,H,W)
+
+    tot_w = (bw * used).sum(-1)                             # (H,W)
+    median = (bw * bd).sum(-1) / (tot_w + EPS)
+
+    # median contributor window cache for the blend backward
+    # (forward.cu:515-567: min/max over used entries, seeded with slot 0)
+    contrib = blend.buf_contrib
+    low = jnp.minimum(
+        jnp.where(used, contrib, jnp.int32(2**30)).min(-1), contrib[..., 0]
+    )
+    high = jnp.maximum(
+        jnp.where(used, contrib, jnp.int32(0)).max(-1), contrib[..., 0]
+    )
+
+    # --- median point & world-space viewing ray (forward.cu:569-592)
+    mpt = jnp.stack([pdx * median, pdy * median, median], axis=-1)  # (H,W,3)
+    mpt_world = (mpt - cam.view[:3, 3]) @ cam.view[:3, :3]
+    ray = mpt_world - cam.cam_pos
+    ray = ray / (jnp.linalg.norm(ray, axis=-1, keepdims=True) + EPS)
+    ray = lax.stop_gradient(ray)
+    mpt_world_c = lax.stop_gradient(mpt_world)
+
+    # --- occlusion test of the median point per source (forward.cu:594-656)
+    qm = (jnp.einsum("sij,hwj->shwi", r2s[:, :3, :3], lax.stop_gradient(mpt))
+          + r2s[:, :3, 3][:, None, None, :])
+    inv_zm = 1.0 / (qm[..., 2] + EPS)
+    pum = qm[..., 0] * cam.fx * inv_zm + cam.cx
+    pvm = qm[..., 1] * cam.fy * inv_zm + cam.cy
+    inbm = (pum >= 0.0) & (pum <= W - 1.0) & (pvm >= 0.0) & (pvm <= H - 1.0)
+    wdepth = jnp.stack(
+        [bilinear_sample(depths[s], pum[s], pvm[s]) for s in range(S)], axis=0
+    )
+    wdepth = jnp.where(inbm, wdepth, 0.0)
+    depth_err = jnp.abs(wdepth - qm[..., 2]) * inv_zm       # (S,H,W)
+
+    src_real = jnp.arange(S, dtype=jnp.int32)[:, None, None] < src.count
+    valid = (wdepth > 0.0) & (depth_err < depth_error_threshold) & src_real
+
+    # --- pack valid sources first, preserving source order (forward.cu:626-655)
+    order = jnp.argsort(~jnp.moveaxis(valid, 0, -1), axis=-1, stable=True)
+    order = jnp.moveaxis(order, -1, 0)                      # (S,H,W)
+
+    def pack(x):  # (S,H,W,...) gather along S by per-pixel order
+        return jnp.take_along_axis(
+            x, order.reshape(order.shape + (1,) * (x.ndim - 3)), axis=0
+        )
+
+    valid_p = pack(valid)
+    warped = wsum_color / (wsum[..., None] + EPS)
+    warped_p = pack(warped) * valid_p[..., None]
+
+    src_dir = mpt_world_c[None] - src_pos[:, None, None, :]
+    src_dir = src_dir / (jnp.linalg.norm(src_dir, axis=-1, keepdims=True) + EPS)
+    ray_dot = (src_dir * ray[None]).sum(-1)                  # (S,H,W)
+    dcam = (cam.cam_pos - src_pos)[:, None, None, :] * jnp.ones((S, H, W, 3))
+    feat = jnp.concatenate([dcam, ray_dot[..., None]], axis=-1)  # (S,H,W,4)
+    feat_p = lax.stop_gradient(pack(feat) * valid_p[..., None])
+
+    src_ids = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[:, None, None], (S, H, W)
+    )
+    idx_p = jnp.where(valid_p, pack(src_ids), -1)
+    wsum_p = pack(wsum) * valid_p
+
+    min_err = jnp.where(valid, depth_err, 1.0).min(axis=0)
+    min_err = jnp.minimum(min_err, 1.0)
+
+    return IBROutputs(
+        median_depth=median,
+        camera_ray=ray,
+        warped_image=warped_p,
+        cam_feat=feat_p,
+        min_depth_diff=lax.stop_gradient(min_err),
+        valid_src_index=idx_p,
+        valid_src_weight=lax.stop_gradient(wsum_p),
+        use_first_src_mask=valid[0].astype(jnp.int32),
+        low_contrib=low,
+        high_contrib=high,
+    )

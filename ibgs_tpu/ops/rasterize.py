@@ -1,0 +1,168 @@
+"""Differentiable plane-based Gaussian rasterization — the public op.
+
+Pipeline (TPU-first factoring of the reference CUDA rasterizer):
+
+    preprocess (jnp, autodiff)          reference forward.cu:194-295
+      → binning  (XLA sort)             reference rasterizer_impl.cu:320-515
+      → blend    (Pallas custom_vjp)    reference forward.cu:305-665 / backward.cu:496-807
+      → epilogue (jnp gathers, autodiff) reference forward.cu:496-663
+
+Only the order-dependent blend needs hand-written kernels; every other
+stage differentiates via JAX autodiff, so the whole `rasterize` call is a
+single differentiable function of the Gaussian parameters.
+
+Densification statistics: like the reference (which routes screen-space
+gradients through dummy `screenspace_points` tensors,
+gaussian_renderer/__init__.py:153-159), callers pass zero-valued
+`screen_dummy` / `screen_dummy_abs` arrays; `jax.grad` w.r.t. them yields
+the per-Gaussian view-space gradient and its absolute-value accumulation
+(the AbsGS-style statistic that cannot be produced by plain autodiff).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from ibgs_tpu.core.camera import Camera
+from ibgs_tpu.ops import binning, blend_oracle, epilogue, preprocess
+from ibgs_tpu.ops.blend_common import BlendConfig, BlendOutputs, Instances
+from ibgs_tpu.ops.epilogue import IBROutputs, SourceViews
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer configuration (hashable; part of the jit key)."""
+    tile_h: int = 32
+    tile_w: int = 32
+    instance_cap: int = 1 << 18
+    buffer_len: int = 4
+    max_src: int = 5
+    depth_error_threshold: float = 0.01
+    backend: str = "pallas"          # "pallas" | "oracle"
+
+    def blend_cfg(self, render_geo: bool, depth_only: bool) -> BlendConfig:
+        return BlendConfig(
+            tile_h=self.tile_h,
+            tile_w=self.tile_w,
+            buffer_len=self.buffer_len,
+            render_geo=render_geo,
+            depth_only=depth_only,
+        )
+
+
+@struct.dataclass
+class RenderResult:
+    render: jnp.ndarray              # (H, W, 3) composited colour (+bg)
+    radii: jnp.ndarray               # (P,) int32 screen radii (0 = culled)
+    final_t: jnp.ndarray             # (H, W)
+    n_contrib: jnp.ndarray           # (H, W) int32
+    normal: jnp.ndarray              # (H, W, 3) rendered plane normals
+    median_depth: jnp.ndarray        # (H, W)
+    n_instances: jnp.ndarray         # () int32 (overflow diagnostics)
+    ibr: Optional[IBROutputs]        # image-based outputs (render_geo only)
+
+
+def _padded(size: int, tile: int) -> int:
+    return -(-size // tile) * tile
+
+
+def rasterize(
+    *,
+    xyz: jnp.ndarray,
+    scale: jnp.ndarray,
+    quat: jnp.ndarray,
+    opacity: jnp.ndarray,
+    sh_coeffs: jnp.ndarray,
+    active_sh_degree,
+    normal_world: jnp.ndarray,
+    plane_offset: jnp.ndarray,
+    cam: Camera,
+    bg: jnp.ndarray,
+    cfg: RasterConfig,
+    src: Optional[SourceViews] = None,
+    alive: Optional[jnp.ndarray] = None,
+    screen_dummy: Optional[jnp.ndarray] = None,
+    screen_dummy_abs: Optional[jnp.ndarray] = None,
+    render_geo: bool = True,
+    depth_only: bool = False,
+    rgb_override: Optional[jnp.ndarray] = None,
+) -> RenderResult:
+    P = xyz.shape[0]
+    Hp = _padded(cam.height, cfg.tile_h)
+    Wp = _padded(cam.width, cfg.tile_w)
+    tiles_x = Wp // cfg.tile_w
+    tiles_y = Hp // cfg.tile_h
+
+    sp = preprocess.preprocess(
+        xyz, scale, quat, opacity, sh_coeffs, active_sh_degree,
+        normal_world, plane_offset, cam, cfg.tile_h, cfg.tile_w,
+        alive=alive, rgb_override=rgb_override,
+    )
+    bins = binning.bin_splats(sp, tiles_x, tiles_y, cfg.instance_cap)
+
+    mean2d = sp.mean2d
+    if screen_dummy is not None:
+        mean2d = mean2d + screen_dummy
+
+    ids = bins.gauss_id
+    inst = Instances(
+        mean2d=mean2d[ids],
+        conic=sp.conic[ids],
+        opacity=jnp.where(bins.inst_valid, sp.opacity[ids], 0.0),
+        rgb=sp.rgb[ids],
+        normal=sp.plane_normal[ids],
+        dist=sp.plane_dist[ids],
+    )
+    inst_dummy_abs = (
+        screen_dummy_abs[ids] if screen_dummy_abs is not None else None
+    )
+
+    bcfg = cfg.blend_cfg(render_geo, depth_only)
+    if cfg.backend == "oracle":
+        blend = blend_oracle.blend_oracle(
+            inst, bins, Wp, Hp, cam.fx, cam.fy, cam.cx, cam.cy, bcfg
+        )
+        del inst_dummy_abs  # oracle backend: abs-grads unavailable
+    else:
+        from ibgs_tpu.ops import blend_pallas
+        blend = blend_pallas.blend(
+            inst, inst_dummy_abs, bins, Wp, Hp,
+            cam.fx, cam.fy, cam.cx, cam.cy, bcfg,
+        )
+
+    H, W = cam.height, cam.width
+    blend = BlendOutputs(
+        color=blend.color[:H, :W],
+        normal=blend.normal[:H, :W],
+        final_t=blend.final_t[:H, :W],
+        n_contrib=blend.n_contrib[:H, :W],
+        buf_depth=blend.buf_depth[:H, :W],
+        buf_weight=blend.buf_weight[:H, :W],
+        buf_contrib=blend.buf_contrib[:H, :W],
+    )
+
+    out_color = blend.color + blend.final_t[..., None] * bg[None, None, :]
+
+    ibr = None
+    if depth_only:
+        median = epilogue.median_depth_only(blend)
+    elif render_geo:
+        assert src is not None, "render_geo requires SourceViews"
+        ibr = epilogue.ibr_epilogue(blend, cam, src, cfg.depth_error_threshold)
+        median = ibr.median_depth
+    else:
+        median = jnp.zeros((H, W), jnp.float32)
+
+    return RenderResult(
+        render=out_color,
+        radii=sp.radius,
+        final_t=blend.final_t,
+        n_contrib=blend.n_contrib,
+        normal=blend.normal,
+        median_depth=median,
+        n_instances=bins.n_instances,
+        ibr=ibr,
+    )
