@@ -16,8 +16,8 @@ MAX_BUFFER = 8               # compiled max median-buffer length
 @dataclasses.dataclass(frozen=True)
 class BlendConfig:
     """Static configuration of the blend stage."""
-    tile_h: int = 16
-    tile_w: int = 128
+    tile_h: int = 8
+    tile_w: int = 16
     buffer_len: int = 4
     render_geo: bool = True
     depth_only: bool = False

@@ -1,0 +1,548 @@
+"""Pallas TPU kernels for the sequential alpha-blend stage.
+
+TPU-first design (NOT a translation of the CUDA kernels):
+
+  * Tiles are 8x16 = 128 pixels — one vector-lane row.  Per step the kernel
+    processes KI=8 depth-ordered instances *simultaneously* as the sublane
+    axis of (8, 128) vregs: the serial CUDA loop becomes masked prefix
+    products (transmittance), prefix sums (buffer ranks) and slot-vectorised
+    "last-writer-wins" selections for the median buffer.
+  * Instance attributes are packed as one (cap_pad, 16) f32 array in HBM and
+    DMA'd per 256-instance chunk into VMEM; tile ranges arrive via scalar
+    prefetch.  The chunk loop early-exits once every pixel saturates.
+  * The backward kernel re-walks the instances FORWARD (no T-division like
+    reference backward.cu:653): the suffix sums of the alpha recursion are
+    `total - inclusive_prefix`, with the totals recovered from the saved
+    forward outputs, so one forward sweep suffices.
+  * Per-instance gradients land in disjoint rows of a (cap_pad, 16) array —
+    tile ranges partition the instance list, so there are no races and no
+    atomics; the gather that produced the instances turns these rows into
+    deterministic per-Gaussian segment sums under autodiff.
+
+Forward semantics are validated against the pure-JAX oracle
+(blend_oracle.py), which replicates reference forward.cu:305-665 exactly.
+Two deliberate gradient deviations from reference backward.cu (documented,
+both mathematically exact where CUDA approximates):
+  * alpha gradients are gated when the 0.99 alpha clamp saturates;
+  * median-buffer gradients route to the exact buffer-entry instances
+    instead of being smeared over the [low, high] contributor window.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ibgs_tpu.ops import blend_common as bc
+from ibgs_tpu.ops.blend_common import BlendConfig, BlendOutputs, Instances
+
+NPIX = 128          # pixels per tile (one lane row: tile_h x tile_w = 8x16)
+KI = 8              # instances per vector step (sublane axis)
+CHUNK = 256         # instances DMA'd from HBM per step
+CF = 16             # packed feature channels
+ROW = 128           # HBM row width (lane-aligned; channels CF..ROW are padding)
+MAXB = bc.MAX_BUFFER
+
+# feature channel layout
+FX, FY, FCA, FCB, FCC, FOP, FR, FG, FB, FNX, FNY, FNZ, FD, FAX, FAY, FPAD = range(16)
+
+
+# --------------------------------------------------------------------------
+# sublane-axis scans (KI is tiny and static → log-step roll + mask)
+# --------------------------------------------------------------------------
+
+def _sub_iota(n, m=NPIX, dtype=jnp.int32):
+    return lax.broadcasted_iota(dtype, (n, m), 0)
+
+
+def _cumsum_sub(x):
+    n = x.shape[0]
+    i = _sub_iota(n, x.shape[1])
+    s = 1
+    while s < n:
+        r = pltpu.roll(x, s, axis=0)
+        x = x + jnp.where(i >= s, r, jnp.zeros_like(x))
+        s *= 2
+    return x
+
+
+def _cumprod_sub(x):
+    n = x.shape[0]
+    i = _sub_iota(n, x.shape[1])
+    s = 1
+    while s < n:
+        r = pltpu.roll(x, s, axis=0)
+        x = x * jnp.where(i >= s, r, jnp.ones_like(x))
+        s *= 2
+    return x
+
+
+def _shift_down(x, fill):
+    """exclusive shift: row k gets row k-1, row 0 gets `fill`."""
+    r = pltpu.roll(x, 1, axis=0)
+    return jnp.where(_sub_iota(x.shape[0], x.shape[1]) >= 1, r,
+                     jnp.full_like(x, fill))
+
+
+# --------------------------------------------------------------------------
+# shared per-substep math
+# --------------------------------------------------------------------------
+
+def _pixel_coords(cfg: BlendConfig, tiles_x: int, t, scal_ref):
+    fx, fy, cx, cy = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
+    lane = lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+    tile_x = t % tiles_x
+    tile_y = t // tiles_x
+    px = (tile_x * cfg.tile_w + lane % cfg.tile_w).astype(jnp.float32)
+    py = (tile_y * cfg.tile_h + lane // cfg.tile_w).astype(jnp.float32)
+    rayx = (px - cx) / fx
+    rayy = (py - cy) / fy
+    return px, py, rayx, rayy
+
+
+def _alpha_terms(fv, j, px, py):
+    """Evaluate KI instances (rows j..j+KI of the VMEM chunk) at all pixels."""
+    def col(c):
+        return fv[pl.ds(j, KI), c:c + 1]           # (KI, 1)
+
+    dx = col(FX) - px                               # (KI, NPIX)
+    dy = col(FY) - py
+    power = (-0.5 * (col(FCA) * dx * dx + col(FCC) * dy * dy)
+             - col(FCB) * dx * dy)
+    g = jnp.exp(power)
+    raw = col(FOP) * g
+    alpha = jnp.minimum(bc.ALPHA_CLAMP, raw)
+    ok = (power <= 0.0) & (alpha >= bc.ALPHA_MIN)
+    return col, dx, dy, g, raw, alpha, ok
+
+
+def _plane_depth(col, rayx, rayy):
+    denom = col(FNX) * rayx + col(FNY) * rayy + col(FNZ) + bc.PLANE_EPS
+    return -col(FD) / denom, denom
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
+                start_ref, stop_ref, scal_ref,
+                feats_hbm,
+                color_o, normal_o, t_o, nc_o, bd_o, bw_o, bcN_o,
+                fv, sem):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    stop = stop_ref[t]
+    px, py, rayx, rayy = _pixel_coords(cfg, tiles_x, t, scal_ref)
+    slotI = _sub_iota(MAXB)                         # (MAXB, NPIX)
+    geo = cfg.render_geo or cfg.depth_only
+
+    nchunk = lax.div(stop - start + CHUNK - 1, CHUNK)
+
+    def chunk_cond(st):
+        return (st[0] < nchunk) & (jnp.min(st[2]) < 1.0)
+
+    def chunk_body(st):
+        (c, T, done, C3, N3, bd, bw, bcN, bptr, blw, last) = st
+        s = start + c * CHUNK
+        cp = pltpu.make_async_copy(feats_hbm.at[pl.ds(s, CHUNK), :], fv, sem)
+        cp.start()
+        cp.wait()
+
+        def sub(si, sst):
+            (T, done, C3, N3, bd, bw, bcN, bptr, blw, last) = sst
+            j = si * KI
+            col, dx, dy, g, raw, alpha, ok = _alpha_terms(fv, j, px, py)
+            gidx = s + j + _sub_iota(KI)
+            pos = gidx - start + 1
+            ok = ok & (gidx < stop) & (done < 1.0)
+
+            a_ok = jnp.where(ok, alpha, 0.0)
+            cum = _cumprod_sub(1.0 - a_ok)
+            Ti = T * _shift_down(cum, 1.0)
+            crossing = ok & (Ti * (1.0 - alpha) < bc.T_STOP)
+            crs = crossing.astype(jnp.float32)
+            prior_cross = (_cumsum_sub(crs) - crs) > 0.0
+            contrib = ok & (~crossing) & (~prior_cross)
+
+            if geo:
+                depth_i, _den = _plane_depth(col, rayx, rayy)
+                hd = contrib & (depth_i > 0.0)
+                pb = hd & (Ti > 0.5)
+                cand = hd & (Ti <= 0.5)
+                pbf = pb.astype(jnp.float32)
+                rank_b = bptr + (_cumsum_sub(pbf) - pbf).astype(jnp.int32)
+                cdf = cand.astype(jnp.float32)
+                rank_l = blw + (_cumsum_sub(cdf) - cdf).astype(jnp.int32)
+                pl_ok = cand & (rank_l < cfg.below_cap)
+                if cfg.depth_only:
+                    # inclusive cut once the below-buffer fills
+                    # (forward.cu:484-488); the filling instance still counts.
+                    plf = pl_ok.astype(jnp.float32)
+                    acc = blw + _cumsum_sub(plf).astype(jnp.int32)
+                    fill = hd & (acc >= cfg.below_cap)
+                    ff = fill.astype(jnp.float32)
+                    prior_fill = (_cumsum_sub(ff) - ff) > 0.0
+                    contrib = contrib & (~prior_fill)
+                    pb = pb & (~prior_fill)
+                    pl_ok = pl_ok & (~prior_fill)
+                    done = jnp.maximum(done, jnp.max(ff, axis=0, keepdims=True))
+                a_t = jnp.where(contrib, alpha * Ti, 0.0)
+                slot = jnp.where(pb, rank_b % cfg.before_cap,
+                                 cfg.before_cap + rank_l)
+                push = pb | pl_ok
+                eq = (slot[None] == slotI[:, :1][:, None]) & push[None]
+                idxm = jnp.where(eq, _sub_iota(KI)[None], -1)   # (MAXB,KI,NPIX)
+                win = jnp.max(idxm, axis=1)                     # (MAXB, NPIX)
+                oh = ((idxm == win[:, None, :]) & eq).astype(jnp.float32)
+                has = win >= 0
+                bd = jnp.where(has, jnp.sum(depth_i[None] * oh, axis=1), bd)
+                bw = jnp.where(has, jnp.sum(a_t[None] * oh, axis=1), bw)
+                bcN = jnp.where(
+                    has,
+                    jnp.sum(pos[None].astype(jnp.float32) * oh,
+                            axis=1).astype(jnp.int32),
+                    bcN,
+                )
+                bptr = bptr + jnp.sum(pb.astype(jnp.int32), axis=0, keepdims=True)
+                blw = blw + jnp.sum(pl_ok.astype(jnp.int32), axis=0, keepdims=True)
+            else:
+                a_t = jnp.where(contrib, alpha * Ti, 0.0)
+
+            if not cfg.depth_only:
+                C3 = C3 + jnp.concatenate(
+                    [jnp.sum(col(FR) * a_t, axis=0, keepdims=True),
+                     jnp.sum(col(FG) * a_t, axis=0, keepdims=True),
+                     jnp.sum(col(FB) * a_t, axis=0, keepdims=True)], axis=0)
+                if cfg.render_geo:
+                    N3 = N3 + jnp.concatenate(
+                        [jnp.sum(col(FNX) * a_t, axis=0, keepdims=True),
+                         jnp.sum(col(FNY) * a_t, axis=0, keepdims=True),
+                         jnp.sum(col(FNZ) * a_t, axis=0, keepdims=True)], axis=0)
+
+            T = T * _cumprod_sub(
+                jnp.where(contrib, 1.0 - alpha, 1.0))[KI - 1:KI]
+            last = jnp.maximum(
+                last, jnp.max(jnp.where(contrib, pos, 0), axis=0, keepdims=True))
+            done = jnp.maximum(done, jnp.max(crs, axis=0, keepdims=True))
+            return (T, done, C3, N3, bd, bw, bcN, bptr, blw, last)
+
+        sst = (T, done, C3, N3, bd, bw, bcN, bptr, blw, last)
+        sst = lax.fori_loop(0, CHUNK // KI, sub, sst)
+        return (c + 1,) + sst
+
+    z1 = jnp.zeros((1, NPIX), jnp.float32)
+    z3 = jnp.zeros((3, NPIX), jnp.float32)
+    zB = jnp.zeros((MAXB, NPIX), jnp.float32)
+    i1 = jnp.zeros((1, NPIX), jnp.int32)
+    st = (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32), z1, z3, z3,
+          zB, zB, jnp.zeros((MAXB, NPIX), jnp.int32), i1, i1, i1)
+    st = lax.while_loop(chunk_cond, chunk_body, st)
+    (_c, T, _done, C3, N3, bd, bw, bcN, _bp, _bl, last) = st
+
+    color_o[0] = C3
+    normal_o[0] = N3
+    t_o[0] = T
+    nc_o[0] = last
+    bd_o[0] = bd
+    bw_o[0] = bw
+    bcN_o[0] = bcN
+
+
+# --------------------------------------------------------------------------
+# backward kernel
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
+                start_ref, stop_ref, scal_ref,
+                feats_hbm,
+                color_s, normal_s, t_s, nc_s, bw_s, bcN_s,
+                dLc_i, dLn_i, dLt_i, dLbd_i, dLbw_i,
+                dfeats_hbm,
+                fv, gv, sem, osem):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    stop = stop_ref[t]
+    px, py, rayx, rayy = _pixel_coords(cfg, tiles_x, t, scal_ref)
+    geo = cfg.render_geo
+
+    dLc = dLc_i[0]                                  # (3, NPIX)
+    dLt = dLt_i[0]                                  # (1, NPIX)
+    Tf = t_s[0]
+    ncontrib = nc_s[0]
+    TOTc = jnp.sum(color_s[0] * dLc, axis=0, keepdims=True)
+    if geo:
+        dLn = dLn_i[0]
+        TOTn = jnp.sum(normal_s[0] * dLn, axis=0, keepdims=True)
+        bcN = bcN_s[0]                              # (MAXB, NPIX) int32
+        gS = dLbw_i[0] * bw_s[0]                    # (MAXB, NPIX)
+        dLbd = dLbd_i[0]
+        TOTQ = jnp.sum(gS, axis=0, keepdims=True)
+
+    nchunk = lax.div(stop - start + CHUNK - 1, CHUNK)
+
+    def chunk_body(c, st):
+        s = start + c * CHUNK
+        cp = pltpu.make_async_copy(feats_hbm.at[pl.ds(s, CHUNK), :], fv, sem)
+        cp.start()
+        cp.wait()
+
+        def sub(si, sst):
+            (T, Pc, Pn, Qle) = sst
+            j = si * KI
+            col, dx, dy, g, raw, alpha, ok = _alpha_terms(fv, j, px, py)
+            gidx = s + j + _sub_iota(KI)
+            pos = gidx - start + 1
+            contrib = ok & (gidx < stop) & (pos <= ncontrib)
+
+            a_c = jnp.where(contrib, alpha, 0.0)
+            cum = _cumprod_sub(1.0 - a_c)
+            Ti = T * _shift_down(cum, 1.0)
+            w = jnp.where(contrib, alpha * Ti, 0.0)
+            om_a = 1.0 - a_c                        # >= 0.01
+
+            cdl = (col(FR) * dLc[0:1] + col(FG) * dLc[1:2]
+                   + col(FB) * dLc[2:3])
+            wc = w * cdl
+            suff_c = TOTc - (Pc + _cumsum_sub(wc))
+            dLa = cdl * Ti - suff_c / om_a + dLt * (-Tf / om_a)
+            Pc = Pc + jnp.sum(wc, axis=0, keepdims=True)
+
+            if geo:
+                ndl = (col(FNX) * dLn[0:1] + col(FNY) * dLn[1:2]
+                       + col(FNZ) * dLn[2:3])
+                wn = w * ndl
+                suff_n = TOTn - (Pn + _cumsum_sub(wn))
+                dLa = dLa + ndl * Ti - suff_n / om_a
+                Pn = Pn + jnp.sum(wn, axis=0, keepdims=True)
+
+                eq = (bcN[:, None, :] == pos[None]).astype(jnp.float32)
+                dd = jnp.sum(eq * dLbd[:, None, :], axis=0)     # (KI, NPIX)
+                gw = jnp.sum(eq * dLbw_i[0][:, None, :], axis=0)
+                gq = jnp.sum(eq * gS[:, None, :], axis=0)
+                dLa = dLa + gw * Ti
+                dLa = dLa - (TOTQ - (Qle + _cumsum_sub(gq))) / om_a
+                Qle = Qle + jnp.sum(gq, axis=0, keepdims=True)
+
+                _depth, denom = _plane_depth(col, rayx, rayy)
+                inv_den = 1.0 / denom
+                d_dist = dd * (-inv_den)
+                coef = dd * col(FD) * inv_den * inv_den
+                d_nx, d_ny, d_nz = coef * rayx, coef * rayy, coef
+            else:
+                d_dist = jnp.zeros_like(w)
+                d_nx = d_ny = d_nz = d_dist
+
+            dLa = jnp.where(contrib, dLa, 0.0)
+            live = (raw < bc.ALPHA_CLAMP).astype(jnp.float32)
+            gg = g * col(FOP) * dLa * live
+            dmx = -(col(FCA) * dx + col(FCB) * dy) * gg
+            dmy = -(col(FCC) * dy + col(FCB) * dx) * gg
+
+            def red(x):
+                return jnp.sum(x, axis=1, keepdims=True)        # (KI, 1)
+
+            if geo:
+                gn0 = red(w * dLn[0:1] + d_nx)
+                gn1 = red(w * dLn[1:2] + d_ny)
+                gn2 = red(w * dLn[2:3] + d_nz)
+            else:
+                gn0, gn1, gn2 = red(d_nx), red(d_ny), red(d_nz)
+            grow = jnp.concatenate(
+                [red(dmx), red(dmy),
+                 red(-0.5 * dx * dx * gg), red(-dx * dy * gg),
+                 red(-0.5 * dy * dy * gg),
+                 red(g * dLa * live),
+                 red(w * dLc[0:1]), red(w * dLc[1:2]), red(w * dLc[2:3]),
+                 gn0, gn1, gn2,
+                 red(d_dist),
+                 red(jnp.abs(dmx)), red(jnp.abs(dmy)),
+                 jnp.zeros((KI, ROW - 15), jnp.float32)],
+                axis=1,
+            )
+            gv[pl.ds(j, KI), :] = grow
+
+            T = T * cum[KI - 1:KI]
+            return (T, Pc, Pn, Qle)
+
+        sst = lax.fori_loop(0, CHUNK // KI, sub, st)
+        ocp = pltpu.make_async_copy(gv, dfeats_hbm.at[pl.ds(s, CHUNK), :], osem)
+        ocp.start()
+        ocp.wait()
+        return sst
+
+    z1 = jnp.zeros((1, NPIX), jnp.float32)
+    lax.fori_loop(0, nchunk,
+                  chunk_body,
+                  (jnp.ones((1, NPIX), jnp.float32), z1, z1, z1))
+
+
+# --------------------------------------------------------------------------
+# pallas_call plumbing + custom_vjp
+# --------------------------------------------------------------------------
+
+def _tile_block(ch):
+    return pl.BlockSpec((1, ch, NPIX), lambda t, *_: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_call(static, feats, tile_start, tile_stop, scal):
+    cfg, tiles_x, tiles_y, cap_pad, interpret = static
+    num_tiles = tiles_x * tiles_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[_tile_block(3), _tile_block(3), _tile_block(1),
+                   _tile_block(1), _tile_block(MAXB), _tile_block(MAXB),
+                   _tile_block(MAXB)],
+        scratch_shapes=[pltpu.VMEM((CHUNK, ROW), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    f32, i32 = jnp.float32, jnp.int32
+    out_shape = [
+        jax.ShapeDtypeStruct((num_tiles, 3, NPIX), f32),     # color
+        jax.ShapeDtypeStruct((num_tiles, 3, NPIX), f32),     # normal
+        jax.ShapeDtypeStruct((num_tiles, 1, NPIX), f32),     # final T
+        jax.ShapeDtypeStruct((num_tiles, 1, NPIX), i32),     # n_contrib
+        jax.ShapeDtypeStruct((num_tiles, MAXB, NPIX), f32),  # buf depth
+        jax.ShapeDtypeStruct((num_tiles, MAXB, NPIX), f32),  # buf weight
+        jax.ShapeDtypeStruct((num_tiles, MAXB, NPIX), i32),  # buf contrib
+    ]
+    return tuple(pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg, tiles_x),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tile_start, tile_stop, scal, feats))
+
+
+def _bwd_call(static, feats, tile_start, tile_stop, scal, saved, cts):
+    cfg, tiles_x, tiles_y, cap_pad, interpret = static
+    num_tiles = tiles_x * tiles_y
+    color_s, normal_s, t_s, nc_s, _bd_s, bw_s, bcN_s = saved
+    dLc, dLn, dLt, dLbd, dLbw = cts
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  _tile_block(3), _tile_block(3), _tile_block(1),
+                  _tile_block(1), _tile_block(MAXB), _tile_block(MAXB),
+                  _tile_block(3), _tile_block(3), _tile_block(1),
+                  _tile_block(MAXB), _tile_block(MAXB)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.VMEM((CHUNK, ROW), jnp.float32),
+                        pltpu.VMEM((CHUNK, ROW), jnp.float32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    (dfeats,) = pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg, tiles_x),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((cap_pad, ROW), jnp.float32)],
+        interpret=interpret,
+    )(tile_start, tile_stop, scal, feats,
+      color_s, normal_s, t_s, nc_s, bw_s, bcN_s,
+      dLc, dLn, dLt, dLbd, dLbw)
+    return dfeats
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _blend_core(static, feats, tile_start, tile_stop, scal):
+    return _fwd_call(static, feats, tile_start, tile_stop, scal)
+
+
+def _blend_fwd_rule(static, feats, tile_start, tile_stop, scal):
+    outs = _fwd_call(static, feats, tile_start, tile_stop, scal)
+    return outs, (feats, tile_start, tile_stop, scal, outs)
+
+
+def _blend_bwd_rule(static, res, cts):
+    cfg = static[0]
+    cap_pad = static[3]
+    feats, tile_start, tile_stop, scal, outs = res
+    ct_color, ct_normal, ct_t, _ct_nc, ct_bd, ct_bw, _ct_bc = cts
+
+    def _z(ct, like):
+        return jnp.zeros_like(like) if ct is None or isinstance(
+            ct, jax.custom_derivatives.SymbolicZero) else ct
+
+    ct_color = _z(ct_color, outs[0])
+    ct_normal = _z(ct_normal, outs[1])
+    ct_t = _z(ct_t, outs[2])
+    ct_bd = _z(ct_bd, outs[4])
+    ct_bw = _z(ct_bw, outs[5])
+    if cfg.depth_only:
+        dfeats = jnp.zeros_like(feats)
+    else:
+        dfeats = _bwd_call(static, feats, tile_start, tile_stop, scal,
+                           outs, (ct_color, ct_normal, ct_t, ct_bd, ct_bw))
+        total = tile_stop[-1]
+        valid = jnp.arange(cap_pad, dtype=jnp.int32) < total
+        dfeats = jnp.where(valid[:, None], dfeats, 0.0)
+    return dfeats, None, None, None
+
+
+_blend_core.defvjp(_blend_fwd_rule, _blend_bwd_rule)
+
+
+# --------------------------------------------------------------------------
+# public wrapper
+# --------------------------------------------------------------------------
+
+def _tiles_to_image(x, tiles_y, tiles_x, th, tw):
+    """(num_tiles, C, NPIX) → (H', W', C);  (num_tiles, 1, NPIX) → (H', W')."""
+    C = x.shape[1]
+    out = x.reshape(tiles_y, tiles_x, C, th, tw)
+    out = out.transpose(0, 3, 1, 4, 2).reshape(tiles_y * th, tiles_x * tw, C)
+    return out[..., 0] if C == 1 else out
+
+
+def blend(inst: Instances, inst_dummy_abs, bins, Wp: int, Hp: int,
+          fx, fy, cx, cy, cfg: BlendConfig) -> BlendOutputs:
+    if cfg.tile_h * cfg.tile_w != NPIX:
+        raise ValueError(
+            f"pallas backend requires tile_h*tile_w == {NPIX} "
+            f"(got {cfg.tile_h}x{cfg.tile_w})")
+    cap = inst.opacity.shape[0]
+    cap_pad = (-(-cap // CHUNK) + 1) * CHUNK
+    tiles_x = Wp // cfg.tile_w
+    tiles_y = Hp // cfg.tile_h
+
+    if inst_dummy_abs is None:
+        inst_dummy_abs = jnp.zeros((cap, 2), jnp.float32)
+    cols = [
+        inst.mean2d[:, 0], inst.mean2d[:, 1],
+        inst.conic[:, 0], inst.conic[:, 1], inst.conic[:, 2],
+        inst.opacity,
+        inst.rgb[:, 0], inst.rgb[:, 1], inst.rgb[:, 2],
+        inst.normal[:, 0], inst.normal[:, 1], inst.normal[:, 2],
+        inst.dist,
+        inst_dummy_abs[:, 0], inst_dummy_abs[:, 1],
+    ]
+    feats = jnp.stack(cols, axis=1)
+    feats = jnp.pad(feats, ((0, cap_pad - cap), (0, ROW - len(cols))))
+    scal = jnp.stack([fx, fy, cx, cy]).astype(jnp.float32)
+
+    # Interpret (emulate) only on CPU; any accelerator backend (tpu, or the
+    # remote-TPU "axon" platform) compiles the real Mosaic kernels.
+    static = (cfg, tiles_x, tiles_y, cap_pad,
+              jax.default_backend() == "cpu")
+    color, normal, T, nc, bd, bw, bcN = _blend_core(
+        static, feats, bins.tile_start, bins.tile_stop, scal)
+
+    th, tw = cfg.tile_h, cfg.tile_w
+    B = cfg.buffer_len       # slots >= buffer_len are never written
+    return BlendOutputs(
+        color=_tiles_to_image(color, tiles_y, tiles_x, th, tw),
+        normal=_tiles_to_image(normal, tiles_y, tiles_x, th, tw),
+        final_t=_tiles_to_image(T, tiles_y, tiles_x, th, tw),
+        n_contrib=_tiles_to_image(nc, tiles_y, tiles_x, th, tw),
+        buf_depth=_tiles_to_image(bd, tiles_y, tiles_x, th, tw)[..., :B],
+        buf_weight=_tiles_to_image(bw, tiles_y, tiles_x, th, tw)[..., :B],
+        buf_contrib=_tiles_to_image(bcN, tiles_y, tiles_x, th, tw)[..., :B],
+    )

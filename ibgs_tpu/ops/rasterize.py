@@ -34,9 +34,11 @@ from ibgs_tpu.ops.epilogue import IBROutputs, SourceViews
 
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
-    """Static rasterizer configuration (hashable; part of the jit key)."""
-    tile_h: int = 32
-    tile_w: int = 32
+    """Static rasterizer configuration (hashable; part of the jit key).
+
+    The pallas backend requires tile_h * tile_w == 128 (one lane row)."""
+    tile_h: int = 8
+    tile_w: int = 16
     instance_cap: int = 1 << 18
     buffer_len: int = 4
     max_src: int = 5

@@ -1,0 +1,225 @@
+"""Host-side training driver (the reference train.py `training()` loop)."""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ibgs_tpu import renderer
+from ibgs_tpu.config import ModelParams, OptimizationParams, PipelineParams
+from ibgs_tpu.data.dataset import SceneData
+from ibgs_tpu.models import aggregation
+from ibgs_tpu.models.gaussians import (DensifyConfig, decay_opacity,
+                                       grow_capacity, init_from_points,
+                                       oneup_sh_degree, reset_opacity)
+from ibgs_tpu.ops.rasterize import RasterConfig
+from ibgs_tpu.renderer import source_views_from_stacks
+from ibgs_tpu.train import checkpoint as ckpt
+from ibgs_tpu.train.trainer import (SideOptState, StepPhase, TrainState,
+                                    densify_step, make_train_step)
+
+
+def _gather_src(stacks, indices, count, cam, max_src):
+    idx = np.zeros((max_src,), np.int32)
+    idx[: len(indices)] = indices[:max_src]
+    return source_views_from_stacks(
+        stacks["images"], stacks["depths"], stacks["w2v"], stacks["centers"],
+        jnp.asarray(idx), jnp.int32(count), cam)
+
+
+_gather_src_jit = jax.jit(source_views_from_stacks)
+
+
+def train(
+    scene: SceneData,
+    mp: ModelParams,
+    opt: OptimizationParams,
+    pipe: PipelineParams,
+    model_path: str,
+    save_iterations=(30_000,),
+    test_iterations=(7_000, 15_000, 30_000),
+    checkpoint_iterations=(),
+    start_checkpoint: Optional[str] = None,
+    quiet: bool = False,
+    seed: int = 24,
+    log_every: int = 200,
+):
+    os.makedirs(model_path, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    H, W = scene.images.shape[1:3]
+    n_train = scene.n_train
+    rcfg = RasterConfig(
+        instance_cap=pipe.instance_cap,
+        buffer_len=opt.buffer_length,
+        max_src=5,
+        depth_error_threshold=opt.depth_error_threshold,
+        backend=pipe.backend,
+    )
+
+    model = init_from_points(scene.points, scene.colors, mp.sh_degree)
+    net = None
+    net_params = net_opt = None
+    if opt.use_color_aggregation:
+        net = aggregation.ColorFusionResidualNet(
+            feat_aggregate_mode=opt.feat_aggregate_mode)
+        S = opt.nb_visible_src_frames
+        net_params = net.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((H, W, S, 7)), jnp.zeros((H, W, 3)),
+            jnp.zeros((H, W, 3)))
+        net_opt = SideOptState.init(net_params)
+
+    state = TrainState(
+        model=model,
+        app_ab=jnp.zeros((1600, 2), jnp.float32),
+        app_opt=SideOptState.init(jnp.zeros((1600, 2))),
+        net_params=net_params,
+        net_opt=net_opt,
+        spatial_lr_scale=jnp.float32(scene.cameras_extent),
+    )
+
+    w2v, centers, _rays = scene.poses_stack()
+    stacks = {
+        "images": jnp.asarray(scene.images),
+        "depths": jnp.zeros((n_train, H, W), jnp.float32),
+        "w2v": jnp.asarray(w2v),
+        "centers": jnp.asarray(centers),
+    }
+
+    first_iter = 1
+    if start_checkpoint:
+        state, first_iter = ckpt.load_state(state, start_checkpoint)
+        first_iter += 1
+
+    dcfg = DensifyConfig(
+        grad_threshold=opt.densify_grad_threshold,
+        abs_grad_threshold=opt.densify_abs_grad_threshold,
+        opacity_cull=opt.opacity_cull_threshold,
+        percent_dense=opt.percent_dense,
+        abs_split_radii2d_threshold=opt.abs_split_radii2D_threshold,
+        max_abs_split=opt.max_abs_split_points,
+    )
+
+    bg_fixed = jnp.ones(3) if scene.white_background else jnp.zeros(3)
+    geo_from = opt.single_view_weight_from_iter - 2 * n_train
+    steps = {}
+
+    def get_step(it):
+        phase = StepPhase(
+            render_geo=it > geo_from,
+            use_aggregation=bool(opt.use_color_aggregation
+                                 and it > opt.start_color_aggregation_iter),
+        )
+        if phase not in steps:
+            steps[phase] = make_train_step(opt, rcfg, net, phase)
+        return steps[phase], phase
+
+    update_depth = jax.jit(lambda cache, i, d: cache.at[i].set(d))
+    set_normal_from_axis = jax.jit(
+        lambda m: m.replace(params=m.params.replace(
+            normal=jax.lax.stop_gradient(m.smallest_axis()))))
+
+    stack_order = []
+    net_lr = 1e-3
+    metrics_log = []
+    t_start = time.time()
+
+    for it in range(first_iter, opt.iterations + 1):
+        if it == opt.single_view_weight_from_iter:
+            # seed learnt normals from the smallest covariance axis
+            # (reference train.py:261-263)
+            state = state.replace(model=set_normal_from_axis(state.model))
+        if opt.use_color_aggregation and it in opt.color_aggregation_reduce_lr_iter:
+            net_lr *= 0.5
+        if it % 1000 == 0:
+            state = state.replace(model=oneup_sh_degree(state.model))
+        if not stack_order:
+            stack_order = list(range(n_train))
+        cam_idx = stack_order.pop(rng.integers(len(stack_order)))
+
+        cam = scene.train_cameras[cam_idx]
+        gt = stacks["images"][cam_idx]
+        step_fn, phase = get_step(it)
+
+        nbrs = scene.nearest_ids[cam_idx][: opt.number_src_frames]
+        idx = np.zeros((rcfg.max_src,), np.int32)
+        idx[: len(nbrs)] = nbrs
+        src = _gather_src_jit(
+            stacks["images"], stacks["depths"], stacks["w2v"],
+            stacks["centers"], jnp.asarray(idx), jnp.int32(len(nbrs)), cam)
+
+        bg = (jnp.asarray(rng.random(3), jnp.float32)
+              if opt.random_background else bg_fixed)
+        use_app = jnp.bool_(opt.exposure_compensation and it > 1000)
+        burn = np.clip(
+            (it - opt.start_color_aggregation_iter)
+            / max(opt.color_aggregate_burnin_steps, 1), 0.0, 1.0)
+        burned_in = jnp.float32((burn + 1.0) / 2.0)
+
+        state, aux = step_fn(state, cam, jnp.int32(cam_idx), gt, src,
+                             jnp.int32(it), bg, use_app, burned_in,
+                             jnp.float32(net_lr))
+
+        if phase.render_geo:
+            stacks["depths"] = update_depth(
+                stacks["depths"], cam_idx, aux["median_depth"])
+
+        # ---- maintenance cadence (train.py:399-430) ----
+        if it < opt.densify_until_iter:
+            if it > opt.densify_from_iter and it % opt.densification_interval == 0:
+                key, sub = jax.random.split(key)
+                max_screen = 20.0 if it > opt.opacity_reset_interval else None
+                state = state.replace(model=densify_step(
+                    state.model, sub, dcfg,
+                    jnp.float32(scene.cameras_extent), max_screen=max_screen))
+                n_alive = int(state.model.n_alive)
+                if (n_alive > 0.9 * state.model.capacity
+                        and state.model.capacity < opt.max_all_points):
+                    newcap = min(state.model.capacity * 2,
+                                 1 << int(np.ceil(np.log2(opt.max_all_points))))
+                    state = state.replace(
+                        model=grow_capacity(state.model, newcap))
+                    print(f"[it {it}] capacity -> {newcap}")
+            if it % opt.opacity_reset_interval == 0 or (
+                    scene.white_background and it == opt.densify_from_iter):
+                state = state.replace(model=reset_opacity(state.model))
+            if (0 < opt.opacity_decay < 1
+                    and it % opt.opacity_decay_interval == 0
+                    and it > opt.densify_from_iter):
+                state = state.replace(
+                    model=decay_opacity(state.model, opt.opacity_decay))
+
+        if it % log_every == 0 or it == first_iter:
+            m = {k: float(aux[k]) for k in
+                 ("image_loss", "normal_loss", "photo_loss", "agg_loss",
+                  "psnr")}
+            m.update(iter=it, points=int(state.model.n_alive),
+                     n_instances=int(aux["n_instances"]),
+                     elapsed=time.time() - t_start)
+            metrics_log.append(m)
+            if not quiet:
+                print(f"[it {it}] loss {m['image_loss']:.4f} "
+                      f"psnr {m['psnr']:.2f} pts {m['points']} "
+                      f"inst {m['n_instances']} t {m['elapsed']:.0f}s",
+                      flush=True)
+            with open(os.path.join(model_path, "train_log.jsonl"), "a") as f:
+                f.write(json.dumps(m) + "\n")
+
+        if it in save_iterations:
+            pc_dir = os.path.join(model_path, "point_cloud",
+                                  f"iteration_{it}")
+            os.makedirs(pc_dir, exist_ok=True)
+            ckpt.save_ply_snapshot(state.model,
+                                   os.path.join(pc_dir, "point_cloud.ply"))
+        if it in checkpoint_iterations:
+            ckpt.save_state(state, it,
+                            os.path.join(model_path, f"chkpnt{it}.npz"))
+
+    return state, stacks

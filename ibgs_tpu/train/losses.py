@@ -1,0 +1,119 @@
+"""Training losses.
+
+Parity targets: /root/reference/utils/loss_utils.py (l1/ssim/photometric
+SSIM with an 11x11 sigma-1.5 Gaussian window) and the loss terms assembled
+in /root/reference/train.py:302-366.
+
+TPU notes: the SSIM window is an outer product of a 1-D Gaussian, so the
+convolution is separable — two small depthwise convs that XLA fuses well.
+Images are (H, W, C); everything is autodiff-friendly jnp.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+C1 = 0.01 ** 2
+C2 = 0.03 ** 2
+
+
+def l1(a, b):
+    return jnp.abs(a - b).mean()
+
+
+def l2(a, b):
+    return ((a - b) ** 2).mean()
+
+
+def psnr(a, b):
+    mse = ((a - b) ** 2).mean()
+    return -10.0 * jnp.log10(mse + 1e-12)
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_window(size: int = 11, sigma: float = 1.5):
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    w = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return w / w.sum()
+
+
+def _blur(img: jnp.ndarray, size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    """Separable Gaussian blur with zero padding (matches torch conv2d
+    padding=size//2 in the reference). img: (H, W, C)."""
+    w = _gauss_window(size, sigma)
+    pad = size // 2
+    x = img.transpose(2, 0, 1)[:, None]            # (C, 1, H, W)
+    kh = w.reshape(1, 1, size, 1)
+    kw = w.reshape(1, 1, 1, size)
+    x = lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)])
+    x = lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)])
+    return x[:, 0].transpose(1, 2, 0)
+
+
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel, per-channel SSIM map (H, W, C)."""
+    mu1 = _blur(img1)
+    mu2 = _blur(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _blur(img1 * img1) - mu1_sq
+    s2 = _blur(img2 * img2) - mu2_sq
+    s12 = _blur(img1 * img2) - mu12
+    return ((2 * mu12 + C1) * (2 * s12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+
+
+def ssim(img1, img2):
+    return ssim_map(img1, img2).mean()
+
+
+def photometric_ssim(ref, warped):
+    """Per-pixel channel-mean SSIM (reference compute_photometric_ssim with
+    size_average=False then .mean(0))."""
+    return ssim_map(ref, warped).mean(-1)
+
+
+def dssim_l1(pred, gt, lambda_dssim: float = 0.2):
+    """The standard 3DGS image loss (train.py:302-305)."""
+    return (1.0 - lambda_dssim) * l1(pred, gt) + lambda_dssim * (
+        1.0 - ssim(pred, gt))
+
+
+def image_gradient_weight(img: jnp.ndarray, beta: float = 2.0) -> jnp.ndarray:
+    """Edge-aware weight map (loss_utils.py:119-131). img: (H, W, C)."""
+    gx = jnp.abs(img[1:-1, 2:] - img[1:-1, :-2]).mean(-1)
+    gy = jnp.abs(img[:-2, 1:-1] - img[2:, 1:-1]).mean(-1)
+    g = jnp.maximum(gx, gy)
+    g = (g - g.min()) / (g.max() - g.min() + 1e-12)
+    return jnp.pad(g, 1, constant_values=1.0)
+
+
+def normal_consistency(rendered_normal, depth_normal, weight: float):
+    """Single-view normal loss (train.py:308-315); inputs (H, W, 3)."""
+    l1_term = jnp.abs(depth_normal - rendered_normal).sum(-1).mean()
+    cos_term = (1.0 - (depth_normal * rendered_normal).sum(-1)).mean()
+    return weight * (0.4 * l1_term + 0.6 * cos_term)
+
+
+def multi_view_photometric(gt, warped_stack, valid_mask,
+                           photo_ssim_weight: float, photo_weight: float):
+    """Multi-view photometric loss (train.py:318-338).
+
+    gt: (H, W, 3); warped_stack: (S, H, W, 3); valid_mask: (S, H, W).
+    Invalid pixels are replaced by gt (zero residual), exactly as the
+    reference's masked blend.
+    """
+    vm = valid_mask[..., None].astype(gt.dtype)
+    masked = vm * warped_stack + (1.0 - vm) * gt[None]
+    any_valid = valid_mask.sum()
+
+    smap = jax.vmap(lambda w: photometric_ssim(gt, w))(masked)   # (S, H, W)
+    ssim_term = ((1.0 - smap) * valid_mask).sum() / (any_valid + 1e-9)
+    l1_map = jnp.abs(gt[None] - masked).mean(-1)
+    l1_term = (l1_map * valid_mask).sum() / (any_valid + 1e-9)
+    loss = ((1 - photo_ssim_weight) * l1_term
+            + photo_ssim_weight * ssim_term) * photo_weight
+    return jnp.where(any_valid > 0, loss, 0.0)
