@@ -44,8 +44,14 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
-    return v / (jnp.linalg.norm(v, axis=axis, keepdims=True) + eps)
+def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-24) -> jnp.ndarray:
+    """Safe unit-normalisation: v * rsqrt(|v|^2 + eps).
+
+    Unlike v/(|v|+e), the reverse-mode gradient stays finite at v = 0
+    (|v|'s grad is 0/0 there), which matters because zero vectors times a
+    zero cotangent would otherwise inject NaNs into gated loss terms."""
+    from jax import lax
+    return v * lax.rsqrt((v * v).sum(axis=axis, keepdims=True) + eps)
 
 
 def build_covariance_3d(scale: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:

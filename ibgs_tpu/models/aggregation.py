@@ -133,7 +133,7 @@ def fuse_color(
 
     residual = net.apply(net_params, view_feats, ray, render_g)
     image_pred = burned_in_gauss * render_g + residual
-    any_valid = (warped_image.sum(axis=(1, 2, 4)) != 0).sum() > 0
+    any_valid = (warped_image.sum(axis=(1, 2, 3)) != 0).sum() > 0
     return {
         "image_pred": image_pred,
         "residual": residual,

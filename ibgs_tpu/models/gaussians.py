@@ -77,7 +77,9 @@ class GaussianModel:
 
     @property
     def quat_unit(self) -> jnp.ndarray:
-        return tf.normalize(self.params.quat)
+        # eps keeps dead (zero-padded) slots NaN-free; alive quats are
+        # O(1)-norm so the perturbation is ~1e-12.
+        return tf.normalize(self.params.quat, eps=1e-12)
 
     @property
     def sh_coeffs(self) -> jnp.ndarray:
@@ -102,7 +104,7 @@ class GaussianModel:
         """Camera-facing plane normal (+ signed offset) —
         gaussian_model.py:156-173."""
         if learnt:
-            n = tf.normalize(self.params.normal)
+            n = tf.normalize(self.params.normal, eps=1e-12)
             off = self.params.offset[:, 0]
         else:
             n = self.smallest_axis()
@@ -240,6 +242,11 @@ def adam_step(model: GaussianModel, grads: GaussianParams,
     step = model.step + 1
     bc1 = 1.0 - b1 ** step.astype(jnp.float32)
     bc2 = 1.0 - b2 ** step.astype(jnp.float32)
+    # The loss is exactly independent of dead slots (alive-mask culling), but
+    # their reverse-mode grads can be 0·nan — zero them before the update.
+    grads = jax.tree.map(
+        lambda g: jnp.where(
+            model.alive.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0), grads)
 
     def upd(p, m, v, g, lr):
         m = b1 * m + (1 - b1) * g

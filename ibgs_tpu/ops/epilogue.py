@@ -145,7 +145,7 @@ def ibr_epilogue(
     mpt = jnp.stack([pdx * median, pdy * median, median], axis=-1)  # (H,W,3)
     mpt_world = (mpt - cam.view[:3, 3]) @ cam.view[:3, :3]
     ray = mpt_world - cam.cam_pos
-    ray = ray / (jnp.linalg.norm(ray, axis=-1, keepdims=True) + EPS)
+    ray = ray * lax.rsqrt((ray * ray).sum(-1, keepdims=True) + EPS)
     ray = lax.stop_gradient(ray)
     mpt_world_c = lax.stop_gradient(mpt_world)
 
@@ -179,7 +179,7 @@ def ibr_epilogue(
     warped_p = pack(warped) * valid_p[..., None]
 
     src_dir = mpt_world_c[None] - src_pos[:, None, None, :]
-    src_dir = src_dir / (jnp.linalg.norm(src_dir, axis=-1, keepdims=True) + EPS)
+    src_dir = src_dir * lax.rsqrt((src_dir * src_dir).sum(-1, keepdims=True) + EPS)
     ray_dot = (src_dir * ray[None]).sum(-1)                  # (S,H,W)
     dcam = (cam.cam_pos - src_pos)[:, None, None, :] * jnp.ones((S, H, W, 3))
     feat = jnp.concatenate([dcam, ray_dot[..., None]], axis=-1)  # (S,H,W,4)

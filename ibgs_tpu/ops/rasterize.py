@@ -110,13 +110,23 @@ def rasterize(
         mean2d = mean2d + screen_dummy
 
     ids = bins.gauss_id
+    # Zero every field of padding instances: their clipped gather index can
+    # land on a dead (zero-padded) Gaussian whose derived attributes are
+    # non-finite, and even masked non-finites poison reverse-mode cotangent
+    # chains (0 * nan).
+    vmask = bins.inst_valid
+
+    def take(x):
+        g = x[ids]
+        return jnp.where(vmask.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0)
+
     inst = Instances(
-        mean2d=mean2d[ids],
-        conic=sp.conic[ids],
-        opacity=jnp.where(bins.inst_valid, sp.opacity[ids], 0.0),
-        rgb=sp.rgb[ids],
-        normal=sp.plane_normal[ids],
-        dist=sp.plane_dist[ids],
+        mean2d=take(mean2d),
+        conic=take(sp.conic),
+        opacity=take(sp.opacity),
+        rgb=take(sp.rgb),
+        normal=take(sp.plane_normal),
+        dist=take(sp.plane_dist),
     )
     inst_dummy_abs = (
         screen_dummy_abs[ids] if screen_dummy_abs is not None else None

@@ -32,7 +32,7 @@ def depth_to_normal(cam: Camera, depth: jnp.ndarray) -> jnp.ndarray:
     l2r = pts[1:-1, 2:] - pts[1:-1, :-2]
     b2t = pts[:-2, 1:-1] - pts[2:, 1:-1]
     n = jnp.cross(l2r, b2t)
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    n = n * lax.rsqrt((n * n).sum(-1, keepdims=True) + 1e-20)
     return jnp.pad(n, ((1, 1), (1, 1), (0, 0)))
 
 
@@ -99,7 +99,7 @@ def render_view(
     dnormal = None
     if return_depth_normal and (render_geo or depth_only):
         dn = depth_to_normal(cam, res.median_depth)
-        dnormal = dn / (jnp.linalg.norm(dn, axis=-1, keepdims=True) + 1e-8)
+        dnormal = dn * lax.rsqrt((dn * dn).sum(-1, keepdims=True) + 1e-16)
     return res, dnormal
 
 

@@ -36,9 +36,10 @@ def psnr(a, b):
 
 @functools.lru_cache(maxsize=None)
 def _gauss_window(size: int = 11, sigma: float = 1.5):
-    x = jnp.arange(size, dtype=jnp.float32) - size // 2
-    w = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
-    return w / w.sum()
+    import numpy as np
+    x = np.arange(size, dtype=np.float32) - size // 2
+    w = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return np.asarray(w / w.sum())   # numpy host constant — safe to cache
 
 
 def _blur(img: jnp.ndarray, size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
