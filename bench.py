@@ -1,0 +1,92 @@
+"""Benchmark: pixels/s/chip for a full differentiable IBGS render step.
+
+Measures the north-star metric (BASELINE.json): forward+backward throughput
+of the plane-based rasterizer with the image-based warping path at a
+realistic scene density, on whatever accelerator is attached.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ibgs_tpu.models.gaussians import init_from_points
+    from ibgs_tpu.ops.epilogue import SourceViews
+    from ibgs_tpu.ops.rasterize import RasterConfig
+    from ibgs_tpu.renderer import render_view
+    from ibgs_tpu.train import losses
+    from tests.utils import simple_camera
+
+    W = int(os.environ.get("BENCH_W", 960))
+    H = int(os.environ.get("BENCH_H", 544))
+    n = int(os.environ.get("BENCH_N", 200_000))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    rng = np.random.default_rng(0)
+    pts = (rng.random((n, 3)) * 2.0 - 1.0).astype(np.float32)
+    pts[:, 2] *= 0.3
+    cols = rng.random((n, 3)).astype(np.float32)
+    model = init_from_points(pts, cols, max_sh_degree=2)
+    cam = simple_camera(W, H)
+    backend = "oracle" if jax.default_backend() == "cpu" else "pallas"
+    cfg = RasterConfig(instance_cap=1 << 20, backend=backend)
+    S = 4
+    src = SourceViews(
+        images=jnp.asarray(rng.random((S, H, W, 3)), jnp.float32),
+        depths=jnp.full((S, H, W), 3.0, jnp.float32),
+        ref_to_src=jnp.tile(jnp.eye(4)[None], (S, 1, 1)),
+        cam_pos=jnp.asarray(rng.random((S, 3)) * 0.1, jnp.float32),
+        count=jnp.int32(S),
+    )
+    gt = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+
+    def loss_fn(params):
+        m = model.replace(params=params)
+        res, _ = render_view(m, cam, cfg, jnp.zeros(3), src=src,
+                             render_geo=True, return_depth_normal=False)
+        return (losses.dssim_l1(res.render, gt)
+                + 0.1 * jnp.abs(res.ibr.warped_image).mean()
+                + 1e-3 * res.median_depth.mean())
+
+    step = jax.jit(jax.grad(loss_fn))
+    t0 = time.time()
+    g = step(model.params)
+    jax.block_until_ready(g)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(iters):
+        g = step(model.params)
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / iters
+
+    pix_per_s = H * W / dt
+    # Baseline scale: the reference paper-era CUDA rasterizer trains ~10-15
+    # it/s at this resolution on a consumer GPU ≈ 6e6 px/s fwd+bwd.  No
+    # published numbers exist (BASELINE.md), so vs_baseline is against that
+    # estimate.
+    baseline = 6.0e6
+    print(json.dumps({
+        "metric": "fwd+bwd pixels/s/chip (IBGS geo render, %dx%d, %dk splats)"
+                  % (W, H, n // 1000),
+        "value": round(pix_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(pix_per_s / baseline, 4),
+        "detail": {"step_ms": round(dt * 1e3, 2),
+                   "compile_s": round(compile_s, 1),
+                   "backend": backend,
+                   "device": str(jax.devices()[0])},
+    }))
+
+
+if __name__ == "__main__":
+    main()

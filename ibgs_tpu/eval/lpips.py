@@ -1,0 +1,82 @@
+"""LPIPS perceptual metric in JAX (VGG16 backbone).
+
+The reference bundles lpipsPyTorch which downloads torchvision weights at
+runtime; this environment is egress-free, so the backbone + linear-head
+weights must be provided as a local .npz via $IBGS_LPIPS_WEIGHTS with keys:
+
+  conv{i}_w, conv{i}_b  for i in 0..12   — VGG16 conv layers (OIHW)
+  lin{j}_w              for j in 0..4    — LPIPS 1x1 heads (O=1,I,1,1)
+
+`scripts/export_lpips_weights.py` converts a torchvision+lpips checkout
+into this format on a machine with network access.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# VGG16 feature config: conv channels with 'M' maxpools
+_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+        512, 512, 512, "M", 512, 512, 512]
+_SLICE_ENDS = {1: 3, 2: 8, 3: 15, 4: 22, 5: 29}   # torchvision layer indices
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+class LPIPS:
+    def __init__(self, convs, lins):
+        self.convs = convs
+        self.lins = lins
+
+    @classmethod
+    def from_npz(cls, path):
+        d = np.load(path)
+        convs = []
+        i = 0
+        while f"conv{i}_w" in d:
+            convs.append((jnp.asarray(d[f"conv{i}_w"]),
+                          jnp.asarray(d[f"conv{i}_b"])))
+            i += 1
+        lins = []
+        j = 0
+        while f"lin{j}_w" in d:
+            lins.append(jnp.asarray(d[f"lin{j}_w"]))
+            j += 1
+        return cls(convs, lins)
+
+    def _features(self, x):
+        """x: (H, W, 3) in [0,1] → list of 5 normalised feature maps."""
+        x = (x * 2.0 - 1.0 - _SHIFT) / _SCALE
+        x = x[None].transpose(0, 3, 1, 2)         # NCHW
+        feats = []
+        ci = 0
+        layer = 0
+        for c in _CFG:
+            if c == "M":
+                x = -lax.reduce_window(-x, jnp.inf, lax.min,
+                                       (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+                layer += 1
+            else:
+                w, b = self.convs[ci]
+                x = lax.conv_general_dilated(x, w, (1, 1), "SAME")
+                x = x + b[None, :, None, None]
+                x = jnp.maximum(x, 0.0)
+                ci += 1
+                layer += 2
+            if layer + 0 in (_SLICE_ENDS[k] for k in _SLICE_ENDS):
+                f = x / jnp.sqrt((x * x).sum(1, keepdims=True) + 1e-10)
+                feats.append(f)
+        return feats
+
+    def __call__(self, a, b):
+        fa = self._features(jnp.asarray(a))
+        fb = self._features(jnp.asarray(b))
+        total = 0.0
+        for f1, f2, lin in zip(fa, fb, self.lins):
+            d = (f1 - f2) ** 2
+            w = jnp.maximum(lin, 0.0)             # lin layers are 1x1, >=0
+            total = total + (d * w[None, :, 0, :, :] if w.ndim == 4
+                             else d * w.reshape(1, -1, 1, 1)).sum(1).mean()
+        return total

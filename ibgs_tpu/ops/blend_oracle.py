@@ -30,6 +30,7 @@ def blend_oracle(
     height: int,
     fx, fy, cx, cy,
     cfg: BlendConfig,
+    row0=0,
 ) -> BlendOutputs:
     cap = inst.opacity.shape[0]
     tiles_x = -(-width // cfg.tile_w)
@@ -37,10 +38,10 @@ def blend_oracle(
     B = cfg.buffer_len
 
     px = jnp.tile(jnp.arange(width, dtype=jnp.float32), height)
-    py = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
+    py = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width) + row0
     ray_x = (px - cx) / fx
     ray_y = (py - cy) / fy
-    tile_of_pix = (py.astype(jnp.int32) // cfg.tile_h) * tiles_x + (
+    tile_of_pix = (((py - row0).astype(jnp.int32)) // cfg.tile_h) * tiles_x + (
         px.astype(jnp.int32) // cfg.tile_w
     )
     start = bins.tile_start[tile_of_pix]  # (N,)

@@ -99,6 +99,7 @@ def _pixel_coords(cfg: BlendConfig, tiles_x: int, t, scal_ref):
     tile_y = t // tiles_x
     px = (tile_x * cfg.tile_w + lane % cfg.tile_w).astype(jnp.float32)
     py = (tile_y * cfg.tile_h + lane // cfg.tile_w).astype(jnp.float32)
+    py = py + scal_ref[4]      # viewport row offset (global pixel coords)
     rayx = (px - cx) / fx
     rayy = (py - cy) / fy
     return px, py, rayx, rayy
@@ -503,7 +504,7 @@ def _tiles_to_image(x, tiles_y, tiles_x, th, tw):
 
 
 def blend(inst: Instances, inst_dummy_abs, bins, Wp: int, Hp: int,
-          fx, fy, cx, cy, cfg: BlendConfig) -> BlendOutputs:
+          fx, fy, cx, cy, cfg: BlendConfig, row0=0) -> BlendOutputs:
     if cfg.tile_h * cfg.tile_w != NPIX:
         raise ValueError(
             f"pallas backend requires tile_h*tile_w == {NPIX} "
@@ -526,7 +527,8 @@ def blend(inst: Instances, inst_dummy_abs, bins, Wp: int, Hp: int,
     ]
     feats = jnp.stack(cols, axis=1)
     feats = jnp.pad(feats, ((0, cap_pad - cap), (0, ROW - len(cols))))
-    scal = jnp.stack([fx, fy, cx, cy]).astype(jnp.float32)
+    scal = jnp.stack([fx, fy, cx, cy,
+                      jnp.asarray(row0, jnp.float32) * 1.0]).astype(jnp.float32)
 
     # Interpret (emulate) only on CPU; any accelerator backend (tpu, or the
     # remote-TPU "axon" platform) compiles the real Mosaic kernels.

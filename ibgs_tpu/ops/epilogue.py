@@ -93,9 +93,10 @@ def ibr_epilogue(
     cam: Camera,
     src: SourceViews,
     depth_error_threshold: float = 0.01,
+    row0=0,
 ) -> IBROutputs:
-    H, W = blend.final_t.shape
-    S = src.images.shape[0]
+    H, W = blend.final_t.shape          # band (sharded) dims
+    S, Hs = src.images.shape[0], src.images.shape[1]  # full source frames
 
     images = lax.stop_gradient(src.images)
     depths = lax.stop_gradient(src.depths)
@@ -103,7 +104,7 @@ def ibr_epilogue(
     src_pos = lax.stop_gradient(src.cam_pos)
 
     xs = jnp.arange(W, dtype=jnp.float32)
-    ys = jnp.arange(H, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32) + row0
     gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
     pdx = (gx - cam.cx) / cam.fx   # (H, W)
     pdy = (gy - cam.cy) / cam.fy
@@ -119,7 +120,7 @@ def ibr_epilogue(
     inv_z = 1.0 / (q[..., 2] + EPS)
     pu = q[..., 0] * cam.fx * inv_z + cam.cx               # (S,H,W,B)
     pv = q[..., 1] * cam.fy * inv_z + cam.cy
-    inb = (pu >= 0.0) & (pu <= W - 1.0) & (pv >= 0.0) & (pv <= H - 1.0)
+    inb = (pu >= 0.0) & (pu <= W - 1.0) & (pv >= 0.0) & (pv <= Hs - 1.0)
 
     colors = jnp.stack(
         [bilinear_sample(images[s], pu[s], pv[s]) for s in range(S)], axis=0
@@ -155,7 +156,7 @@ def ibr_epilogue(
     inv_zm = 1.0 / (qm[..., 2] + EPS)
     pum = qm[..., 0] * cam.fx * inv_zm + cam.cx
     pvm = qm[..., 1] * cam.fy * inv_zm + cam.cy
-    inbm = (pum >= 0.0) & (pum <= W - 1.0) & (pvm >= 0.0) & (pvm <= H - 1.0)
+    inbm = (pum >= 0.0) & (pum <= W - 1.0) & (pvm >= 0.0) & (pvm <= Hs - 1.0)
     wdepth = jnp.stack(
         [bilinear_sample(depths[s], pum[s], pvm[s]) for s in range(S)], axis=0
     )

@@ -91,9 +91,18 @@ def rasterize(
     render_geo: bool = True,
     depth_only: bool = False,
     rgb_override: Optional[jnp.ndarray] = None,
+    viewport_row0=None,
+    viewport_rows: Optional[int] = None,
 ) -> RenderResult:
+    """Differentiable render.  With `viewport_row0`/`viewport_rows` set,
+    only the horizontal band of rows [row0, row0+rows) is rasterized —
+    the unit of image-space sharding across a device mesh (row0 may be a
+    traced multiple of tile_h, rows is static)."""
     P = xyz.shape[0]
-    Hp = _padded(cam.height, cfg.tile_h)
+    band = viewport_rows is not None
+    rows = viewport_rows if band else cam.height
+    row0 = viewport_row0 if band else 0
+    Hp = _padded(rows, cfg.tile_h)
     Wp = _padded(cam.width, cfg.tile_w)
     tiles_x = Wp // cfg.tile_w
     tiles_y = Hp // cfg.tile_h
@@ -103,6 +112,17 @@ def rasterize(
         normal_world, plane_offset, cam, cfg.tile_h, cfg.tile_w,
         alive=alive, rgb_override=rgb_override,
     )
+    if band:
+        ty0 = jnp.asarray(row0, jnp.int32) // cfg.tile_h
+        rmin_y = jnp.clip(sp.rect_min[:, 1] - ty0, 0, tiles_y)
+        rmax_y = jnp.clip(sp.rect_max[:, 1] - ty0, 0, tiles_y)
+        n_tiles = (sp.rect_max[:, 0] - sp.rect_min[:, 0]) * (rmax_y - rmin_y)
+        sp = sp.replace(
+            rect_min=sp.rect_min.at[:, 1].set(rmin_y),
+            rect_max=sp.rect_max.at[:, 1].set(rmax_y),
+            n_tiles=n_tiles,
+            radius=jnp.where(n_tiles > 0, sp.radius, 0),
+        )
     bins = binning.bin_splats(sp, tiles_x, tiles_y, cfg.instance_cap)
 
     mean2d = sp.mean2d
@@ -135,17 +155,18 @@ def rasterize(
     bcfg = cfg.blend_cfg(render_geo, depth_only)
     if cfg.backend == "oracle":
         blend = blend_oracle.blend_oracle(
-            inst, bins, Wp, Hp, cam.fx, cam.fy, cam.cx, cam.cy, bcfg
+            inst, bins, Wp, Hp, cam.fx, cam.fy, cam.cx, cam.cy, bcfg,
+            row0=row0,
         )
         del inst_dummy_abs  # oracle backend: abs-grads unavailable
     else:
         from ibgs_tpu.ops import blend_pallas
         blend = blend_pallas.blend(
             inst, inst_dummy_abs, bins, Wp, Hp,
-            cam.fx, cam.fy, cam.cx, cam.cy, bcfg,
+            cam.fx, cam.fy, cam.cx, cam.cy, bcfg, row0=row0,
         )
 
-    H, W = cam.height, cam.width
+    H, W = rows, cam.width
     blend = BlendOutputs(
         color=blend.color[:H, :W],
         normal=blend.normal[:H, :W],
@@ -163,7 +184,8 @@ def rasterize(
         median = epilogue.median_depth_only(blend)
     elif render_geo:
         assert src is not None, "render_geo requires SourceViews"
-        ibr = epilogue.ibr_epilogue(blend, cam, src, cfg.depth_error_threshold)
+        ibr = epilogue.ibr_epilogue(blend, cam, src, cfg.depth_error_threshold,
+                                    row0=row0)
         median = ibr.median_depth
     else:
         median = jnp.zeros((H, W), jnp.float32)

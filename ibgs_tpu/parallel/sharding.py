@@ -1,0 +1,152 @@
+"""Multi-chip SPMD rendering and training.
+
+The reference is strictly single-GPU (SURVEY §2.5); this layer is net-new
+and TPU-native:
+
+  * mesh axes ("dp", "tp"): `dp` batches cameras (data parallel over
+    viewpoints), `tp` shards the image into horizontal row bands (the
+    splatting analogue of sequence parallelism — pixels are the long axis);
+  * Gaussian parameters are replicated; each device rasterizes its own
+    (camera, band) viewport via the rasterizer's viewport support, so the
+    depth sort and blend stay fully local to a chip;
+  * per-Gaussian gradients are combined with a `psum` over both axes inside
+    `shard_map` — XLA lowers it onto ICI; this is the deterministic
+    collective replacing the reference's implicit atomicAdd accumulation;
+  * losses are computed per band and psum-reduced (the SSIM window is
+    evaluated within each band — an O(window/H_band) boundary effect).
+
+`shard_map` is used with explicit per-device grads + psum (not relying on
+replication-rule inference), so the same code path works with the Pallas
+kernels inside.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ibgs_tpu.core.camera import Camera
+from ibgs_tpu.models.gaussians import GaussianModel, adam_step, lr_tree, LRConfig
+from ibgs_tpu.ops.epilogue import SourceViews
+from ibgs_tpu.ops.rasterize import RasterConfig, rasterize
+from ibgs_tpu.train import losses
+
+
+def make_mesh(dp: int, tp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= dp * tp, (len(devices), dp, tp)
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def _band_camera(cam_arrays, width: int, height: int) -> Camera:
+    """Rebuild a Camera pytree from stacked arrays (local batch index 0)."""
+    v = {k: cam_arrays[k][0] for k in cam_arrays}
+    return Camera(width=width, height=height, **v)
+
+
+def _cam_stack(cams) -> dict:
+    fields = ["view", "proj", "full_proj", "cam_pos", "fx", "fy", "cx", "cy",
+              "tan_fovx", "tan_fovy"]
+    return {f: jnp.stack([getattr(c, f) for c in cams]) for f in fields}
+
+
+def sharded_render(model: GaussianModel, cams, cfg: RasterConfig,
+                   bg, mesh: Mesh, learnt_normal=True):
+    """Render a batch of len(cams) == dp views, each sharded into tp row
+    bands.  Returns (dp, H, W, 3) images."""
+    dp, tp = mesh.shape["dp"], mesh.shape["tp"]
+    width, height = cams[0].width, cams[0].height
+    assert height % (tp * cfg.tile_h) == 0, "height must split into tp bands"
+    band = height // tp
+    cam_arrays = _cam_stack(cams)
+    normal_w, offset = model.oriented_normal(
+        jnp.stack([c.cam_pos for c in cams]).mean(0), learnt=learnt_normal)
+
+    def shard_fn(cam_arrays, xyz, scale, quat, opacity, sh, nrm, off, deg,
+                 alive, bg):
+        cam = _band_camera(cam_arrays, width, height)
+        row0 = lax.axis_index("tp") * band
+        res = rasterize(
+            xyz=xyz, scale=scale, quat=quat, opacity=opacity, sh_coeffs=sh,
+            active_sh_degree=deg, normal_world=nrm, plane_offset=off,
+            cam=cam, bg=bg, cfg=cfg, alive=alive, render_geo=False,
+            viewport_row0=row0, viewport_rows=band,
+        )
+        return res.render[None]     # (1, band, W, 3)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("dp"),) + (P(),) * 9 + (P(),),
+        out_specs=P("dp", "tp"),
+        check_vma=False,
+    )
+    return fn(cam_arrays, model.params.xyz, model.scale, model.quat_unit,
+              model.opacity, model.sh_coeffs, normal_w, offset,
+              model.active_sh_degree, model.alive, bg)
+
+
+def sharded_train_step(opt_like, rcfg: RasterConfig, mesh: Mesh,
+                       width: int, height: int, lrcfg: LRConfig = LRConfig()):
+    """Build a jitted multi-device training step.
+
+    Data layout per call:
+      * model: replicated GaussianModel;
+      * cam_arrays: (dp, …) stacked camera fields;
+      * gts: (dp, H, W, 3) sharded P('dp', 'tp') over rows;
+      * srcs: SourceViews stacked (dp, S, …), sharded P('dp') (full frames
+        are needed on every band for warping).
+    """
+    dp, tp = mesh.shape["dp"], mesh.shape["tp"]
+    band = height // tp
+    assert height % (tp * rcfg.tile_h) == 0
+
+    def per_device_loss(params, state_rest, cam_arrays, gt_band, src_local,
+                        iteration):
+        model = state_rest.replace(params=params)
+        cam = _band_camera(cam_arrays, width, height)
+        row0 = lax.axis_index("tp") * band
+        normal_w, offset = model.oriented_normal(cam.cam_pos, learnt=True)
+        src = jax.tree.map(lambda x: x[0], src_local)
+        res = rasterize(
+            xyz=params.xyz, scale=model.scale, quat=model.quat_unit,
+            opacity=model.opacity, sh_coeffs=model.sh_coeffs,
+            active_sh_degree=model.active_sh_degree,
+            normal_world=normal_w, plane_offset=offset,
+            cam=cam, bg=jnp.zeros(3), cfg=rcfg, src=src,
+            alive=model.alive, render_geo=True,
+            viewport_row0=row0, viewport_rows=band,
+        )
+        img_l = losses.dssim_l1(res.render, gt_band[0])
+        med_l = 1e-4 * (res.median_depth ** 2).mean()
+        return img_l + med_l
+
+    def shard_fn(params, state_rest, cam_arrays, gts, srcs, iteration):
+        loss, grads = jax.value_and_grad(per_device_loss)(
+            params, state_rest, cam_arrays, gts, srcs, iteration)
+        loss = lax.psum(loss, ("dp", "tp")) / (dp * tp)
+        grads = jax.tree.map(lambda g: lax.psum(g, ("dp", "tp")) / dp, grads)
+        return loss, grads
+
+    smapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp", "tp"), P("dp"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(model: GaussianModel, cam_arrays, gts, srcs, iteration):
+        rest = model
+        loss, grads = smapped(model.params, rest, cam_arrays, gts, srcs,
+                              iteration)
+        lrs = lr_tree(lrcfg, iteration.astype(jnp.float32), 1.0)
+        model = adam_step(model, grads, lrs)
+        return model, loss
+
+    return step

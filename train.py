@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Training CLI (reference train.py UX).
+
+    python train.py -s <scene_dir> -m <model_dir> [-r 2 --eval ...]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from ibgs_tpu import config as C
+
+
+def main(argv=None):
+    parser = C.build_parser("ibgs_tpu training")
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 15_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[30_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on the built-in synthetic scene")
+    args = parser.parse_args(argv)
+
+    mp = C.extract(args, C.ModelParams)
+    opt = C.extract(args, C.OptimizationParams)
+    pipe = C.extract(args, C.PipelineParams)
+    if not mp.model_path:
+        import uuid
+        mp.model_path = os.path.join("./output", str(uuid.uuid4())[:10])
+    args.model_path = mp.model_path
+    C.save_config(args, mp.model_path)
+
+    np.random.seed(24)
+
+    if args.synthetic:
+        from ibgs_tpu.data.synthetic import make_synthetic_scene
+        scene = make_synthetic_scene()
+    else:
+        from ibgs_tpu.data.dataset import load_scene
+        scene = load_scene(
+            mp.source_path, images_dir=mp.images, resolution=mp.resolution,
+            eval_split=mp.eval, white_background=mp.white_background,
+            multi_view_num=mp.multi_view_num,
+            multi_view_max_angle=mp.multi_view_max_angle,
+            multi_view_min_dis=mp.multi_view_min_dis,
+            multi_view_max_dis=mp.multi_view_max_dis,
+            exposure_reorder=opt.enable_exposure_correction,
+        )
+    print(f"scene: {scene.n_train} train / {len(scene.test_cameras)} test "
+          f"cams, {scene.images.shape[1:3]} px, "
+          f"{len(scene.points)} seed points, extent {scene.cameras_extent:.2f}")
+
+    from ibgs_tpu.train.loop import train
+    if opt.iterations not in args.save_iterations:
+        args.save_iterations.append(opt.iterations)
+    train(scene, mp, opt, pipe, mp.model_path,
+          save_iterations=tuple(args.save_iterations),
+          test_iterations=tuple(args.test_iterations),
+          checkpoint_iterations=tuple(args.checkpoint_iterations),
+          start_checkpoint=args.start_checkpoint, quiet=args.quiet)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
