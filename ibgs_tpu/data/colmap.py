@@ -113,6 +113,14 @@ def read_images_txt(path: str) -> dict:
 
 
 def read_points3d_bin(path: str):
+    # fast path: native C parser (variable-length records are slow in python)
+    try:
+        from ibgs_tpu.utils.native import parse_colmap_points3d
+        out = parse_colmap_points3d(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
         xyz = np.empty((n, 3), np.float64)

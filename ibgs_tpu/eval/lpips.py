@@ -51,6 +51,7 @@ class LPIPS:
         x = (x * 2.0 - 1.0 - _SHIFT) / _SCALE
         x = x[None].transpose(0, 3, 1, 2)         # NCHW
         feats = []
+        ends = set(_SLICE_ENDS.values())
         ci = 0
         layer = 0
         for c in _CFG:
@@ -65,7 +66,9 @@ class LPIPS:
                 x = jnp.maximum(x, 0.0)
                 ci += 1
                 layer += 2
-            if layer + 0 in (_SLICE_ENDS[k] for k in _SLICE_ENDS):
+            # torchvision feature indices: slice ends fall on the relu just
+            # processed, i.e. index layer-1
+            if layer - 1 in ends:
                 f = x / jnp.sqrt((x * x).sum(1, keepdims=True) + 1e-10)
                 feats.append(f)
         return feats

@@ -20,6 +20,8 @@ from ibgs_tpu.models.gaussians import (DensifyConfig, decay_opacity,
 from ibgs_tpu.ops.rasterize import RasterConfig
 from ibgs_tpu.renderer import source_views_from_stacks
 from ibgs_tpu.train import checkpoint as ckpt
+from ibgs_tpu.train import losses
+from ibgs_tpu.train.logging import TrainLogger, colorize_depth
 from ibgs_tpu.train.trainer import (SideOptState, StepPhase, TrainState,
                                     densify_step, make_train_step)
 
@@ -122,6 +124,55 @@ def train(
         return steps[phase], phase
 
     update_depth = jax.jit(lambda cache, i, d: cache.at[i].set(d))
+    logger = TrainLogger(model_path)
+
+    @jax.jit
+    def eval_render(model, cam, src):
+        from ibgs_tpu.renderer import render_view
+        res, _ = render_view(model, cam, rcfg, bg_fixed, src=src,
+                             learnt_normal=opt.learnt_normal,
+                             render_geo=True, return_depth_normal=False)
+        return res.render, res.median_depth, res.normal
+
+    def run_eval(it):
+        """Reference training_report (train.py:104-170): PSNR over the
+        test split + a train-view sample."""
+        configs = [("test", scene.test_cameras, scene.test_images,
+                    scene.test_nearest_ids),
+                   ("train", [scene.train_cameras[i % n_train]
+                              for i in range(5, 30, 5)],
+                    scene.images[[i % n_train for i in range(5, 30, 5)]],
+                    [scene.nearest_ids[i % n_train]
+                     for i in range(5, 30, 5)])]
+        for name, cams_e, gts_e, nbrs_e in configs:
+            if not cams_e:
+                continue
+            tot = 0.0
+            for k, cam_e in enumerate(cams_e):
+                nb = nbrs_e[k][: opt.number_src_frames]
+                idx2 = np.zeros((rcfg.max_src,), np.int32)
+                idx2[: len(nb)] = nb
+                src_e = _gather_src_jit(
+                    stacks["images"], stacks["depths"], stacks["w2v"],
+                    stacks["centers"], jnp.asarray(idx2),
+                    jnp.int32(len(nb)), cam_e)
+                img, dep, nrm = eval_render(state.model, cam_e, src_e)
+                p = float(losses.psnr(jnp.clip(img, 0, 1),
+                                      jnp.asarray(gts_e[k])))
+                tot += p
+                if k < 3:
+                    logger.image(it, f"{name}_view_{k}/render", img)
+                    logger.image(it, f"{name}_view_{k}/depth",
+                                 colorize_depth(dep))
+                    logger.image(it, f"{name}_view_{k}/normal",
+                                 (np.asarray(nrm) + 1) / 2)
+            mean_psnr = tot / len(cams_e)
+            print(f"\n[ITER {it}] Evaluating {name}: PSNR {mean_psnr:.2f}")
+            logger.scalars(it, {f"{name}/psnr": mean_psnr})
+        alive = np.asarray(state.model.alive)
+        logger.histogram(it, "scene/opacity_histogram",
+                         np.asarray(state.model.opacity)[alive])
+        logger.scalars(it, {"total_points": int(alive.sum())})
     set_normal_from_axis = jax.jit(
         lambda m: m.replace(params=m.params.replace(
             normal=jax.lax.stop_gradient(m.smallest_axis()))))
@@ -211,6 +262,14 @@ def train(
                       flush=True)
             with open(os.path.join(model_path, "train_log.jsonl"), "a") as f:
                 f.write(json.dumps(m) + "\n")
+            logger.scalars(it, {
+                "train_loss_patches/l1_loss": float(aux["l1"]),
+                "train_loss_patches/total_loss": m["image_loss"],
+                "train/psnr": m["psnr"],
+            })
+
+        if it in test_iterations:
+            run_eval(it)
 
         if it in save_iterations:
             pc_dir = os.path.join(model_path, "point_cloud",
@@ -222,4 +281,5 @@ def train(
             ckpt.save_state(state, it,
                             os.path.join(model_path, f"chkpnt{it}.npz"))
 
+    logger.close()
     return state, stacks
