@@ -54,20 +54,17 @@ def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int) -> TileBins:
     depth = jnp.where(inst_valid, depth, jnp.inf)
     tile = jnp.where(inst_valid, tile, num_tiles)
 
-    # (tile, depth, gaussian-id) order via two stable sorts.
-    p1 = jnp.argsort(depth, stable=True)
-    p2 = jnp.argsort(tile[p1], stable=True)
-    perm = p1[p2]
-
-    tile_sorted = tile[perm]
+    # one stable lexicographic sort on (tile, depth); gaussian ids ride along
+    tile_sorted, _depth_sorted, gid_sorted, valid_sorted = lax.sort(
+        (tile, depth, gid, inst_valid.astype(jnp.int32)), num_keys=2)
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
     stop = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
 
     return TileBins(
-        gauss_id=gid[perm],
+        gauss_id=gid_sorted,
         tile_id=tile_sorted,
-        inst_valid=inst_valid[perm],
+        inst_valid=valid_sorted.astype(bool),
         tile_start=start,
         tile_stop=stop,
         n_instances=total,

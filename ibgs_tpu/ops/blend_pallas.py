@@ -134,7 +134,7 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
                 start_ref, stop_ref, scal_ref,
                 feats_hbm,
                 color_o, normal_o, t_o, nc_o, bd_o, bw_o, bcN_o,
-                fv, sem):
+                fv2, fv, sem2):
     t = pl.program_id(0)
     start = start_ref[t]
     stop = stop_ref[t]
@@ -142,17 +142,34 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
     slotI = _sub_iota(MAXB)                         # (MAXB, NPIX)
     geo = cfg.render_geo or cfg.depth_only
 
-    nchunk = lax.div(stop - start + CHUNK - 1, CHUNK)
+    # windows aligned down to CHUNK so the lane-dim DMA slice stays aligned;
+    # pre-start rows are masked out below.
+    s_al = lax.div(start, CHUNK) * CHUNK
+    nchunk = lax.div(stop - s_al + CHUNK - 1, CHUNK)
+
+    def dma(w, slot):
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(s_al + w * CHUNK, CHUNK)],
+            fv2.at[slot], sem2.at[slot])
+
+    @pl.when(nchunk > 0)
+    def _():
+        dma(0, 0).start()
 
     def chunk_cond(st):
         return (st[0] < nchunk) & (jnp.min(st[2]) < 1.0)
 
     def chunk_body(st):
         (c, T, done, C3, N3, bd, bw, bcN, bptr, blw, last) = st
-        s = start + c * CHUNK
-        cp = pltpu.make_async_copy(feats_hbm.at[pl.ds(s, CHUNK), :], fv, sem)
-        cp.start()
-        cp.wait()
+        s = s_al + c * CHUNK
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunk)
+        def _():
+            dma(c + 1, (c + 1) % 2).start()
+
+        dma(c, slot).wait()
+        fv[:, :] = jnp.transpose(fv2[slot], (1, 0))   # (CHUNK, CF)
 
         def sub(si, sst):
             (T, done, C3, N3, bd, bw, bcN, bptr, blw, last) = sst
@@ -160,7 +177,7 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
             col, dx, dy, g, raw, alpha, ok = _alpha_terms(fv, j, px, py)
             gidx = s + j + _sub_iota(KI)
             pos = gidx - start + 1
-            ok = ok & (gidx < stop) & (done < 1.0)
+            ok = ok & (gidx >= start) & (gidx < stop) & (done < 1.0)
 
             a_ok = jnp.where(ok, alpha, 0.0)
             cum = _cumprod_sub(1.0 - a_ok)
@@ -263,8 +280,9 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
                 feats_hbm,
                 color_s, normal_s, t_s, nc_s, bw_s, bcN_s,
                 dLc_i, dLn_i, dLt_i, dLbd_i, dLbw_i,
+                _dzero,
                 dfeats_hbm,
-                fv, gv, sem, osem):
+                fvr, fv, gv, acc, sem, rsem, osem):
     t = pl.program_id(0)
     start = start_ref[t]
     stop = stop_ref[t]
@@ -284,13 +302,20 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
         dLbd = dLbd_i[0]
         TOTQ = jnp.sum(gS, axis=0, keepdims=True)
 
-    nchunk = lax.div(stop - start + CHUNK - 1, CHUNK)
+    s_al = lax.div(start, CHUNK) * CHUNK
+    nchunk = lax.div(stop - s_al + CHUNK - 1, CHUNK)
 
     def chunk_body(c, st):
-        s = start + c * CHUNK
-        cp = pltpu.make_async_copy(feats_hbm.at[pl.ds(s, CHUNK), :], fv, sem)
+        s = s_al + c * CHUNK
+        cp = pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(s, CHUNK)], fvr, sem)
         cp.start()
+        # accumulate: read the current gradient block alongside
+        rd = pltpu.make_async_copy(
+            dfeats_hbm.at[:, pl.ds(s, CHUNK)], acc, rsem)
+        rd.start()
         cp.wait()
+        fv[:, :] = jnp.transpose(fvr[:, :], (1, 0))   # (CHUNK, CF)
 
         def sub(si, sst):
             (T, Pc, Pn, Qle) = sst
@@ -298,7 +323,8 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
             col, dx, dy, g, raw, alpha, ok = _alpha_terms(fv, j, px, py)
             gidx = s + j + _sub_iota(KI)
             pos = gidx - start + 1
-            contrib = ok & (gidx < stop) & (pos <= ncontrib)
+            contrib = (ok & (gidx >= start) & (gidx < stop)
+                       & (pos <= ncontrib))
 
             a_c = jnp.where(contrib, alpha, 0.0)
             cum = _cumprod_sub(1.0 - a_c)
@@ -362,7 +388,7 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
                  gn0, gn1, gn2,
                  red(d_dist),
                  red(jnp.abs(dmx)), red(jnp.abs(dmy)),
-                 jnp.zeros((KI, ROW - 15), jnp.float32)],
+                 jnp.zeros((KI, 1), jnp.float32)],
                 axis=1,
             )
             gv[pl.ds(j, KI), :] = grow
@@ -371,7 +397,10 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
             return (T, Pc, Pn, Qle)
 
         sst = lax.fori_loop(0, CHUNK // KI, sub, st)
-        ocp = pltpu.make_async_copy(gv, dfeats_hbm.at[pl.ds(s, CHUNK), :], osem)
+        rd.wait()
+        acc[:, :] = acc[:, :] + jnp.transpose(gv[:, :CF], (1, 0))
+        ocp = pltpu.make_async_copy(acc, dfeats_hbm.at[:, pl.ds(s, CHUNK)],
+                                    osem)
         ocp.start()
         ocp.wait()
         return sst
@@ -401,8 +430,9 @@ def _fwd_call(static, feats, tile_start, tile_stop, scal):
         out_specs=[_tile_block(3), _tile_block(3), _tile_block(1),
                    _tile_block(1), _tile_block(MAXB), _tile_block(MAXB),
                    _tile_block(MAXB)],
-        scratch_shapes=[pltpu.VMEM((CHUNK, ROW), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.VMEM((2, CF, CHUNK), jnp.float32),
+                        pltpu.VMEM((CHUNK, CF), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     f32, i32 = jnp.float32, jnp.int32
     out_shape = [
@@ -434,21 +464,28 @@ def _bwd_call(static, feats, tile_start, tile_stop, scal, saved, cts):
                   _tile_block(3), _tile_block(3), _tile_block(1),
                   _tile_block(1), _tile_block(MAXB), _tile_block(MAXB),
                   _tile_block(3), _tile_block(3), _tile_block(1),
-                  _tile_block(MAXB), _tile_block(MAXB)],
+                  _tile_block(MAXB), _tile_block(MAXB),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.VMEM((CHUNK, ROW), jnp.float32),
-                        pltpu.VMEM((CHUNK, ROW), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((CF, CHUNK), jnp.float32),
+                        pltpu.VMEM((CHUNK, CF), jnp.float32),
+                        pltpu.VMEM((CHUNK, CF), jnp.float32),
+                        pltpu.VMEM((CF, CHUNK), jnp.float32),
+                        pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(())],
     )
     (dfeats,) = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg, tiles_x),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((cap_pad, ROW), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((CF, cap_pad), jnp.float32)],
         interpret=interpret,
+        input_output_aliases={15: 0},   # zero-init buffer → accumulated out
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_stop, scal, feats,
       color_s, normal_s, t_s, nc_s, bw_s, bcN_s,
-      dLc, dLn, dLt, dLbd, dLbw)
+      dLc, dLn, dLt, dLbd, dLbw,
+      jnp.zeros((CF, cap_pad), jnp.float32))
     return dfeats
 
 
@@ -484,7 +521,7 @@ def _blend_bwd_rule(static, res, cts):
                            outs, (ct_color, ct_normal, ct_t, ct_bd, ct_bw))
         total = tile_stop[-1]
         valid = jnp.arange(cap_pad, dtype=jnp.int32) < total
-        dfeats = jnp.where(valid[:, None], dfeats, 0.0)
+        dfeats = jnp.where(valid[None, :], dfeats, 0.0)
     return dfeats, None, None, None
 
 
@@ -525,8 +562,8 @@ def blend(inst: Instances, inst_dummy_abs, bins, Wp: int, Hp: int,
         inst.dist,
         inst_dummy_abs[:, 0], inst_dummy_abs[:, 1],
     ]
-    feats = jnp.stack(cols, axis=1)
-    feats = jnp.pad(feats, ((0, cap_pad - cap), (0, ROW - len(cols))))
+    feats = jnp.stack(cols, axis=0)            # (CF, cap)
+    feats = jnp.pad(feats, ((0, CF - len(cols)), (0, cap_pad - cap)))
     scal = jnp.stack([fx, fy, cx, cy,
                       jnp.asarray(row0, jnp.float32) * 1.0]).astype(jnp.float32)
 

@@ -156,22 +156,30 @@ def preprocess(
     lam_max = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lam_max))
 
-    # Tile rectangle (reference auxiliary.h getRect: trunc-divide then clamp).
+    # Opacity-aware tile rectangle: pixels beyond r_cut = sigma*sqrt(2*ln(255*op))
+    # have alpha < 1/255 and are skipped by the blend anyway, so a tighter
+    # rect is lossless (big instance-count win after opacity resets).  The
+    # reported radius stays at the reference's 3*sigma so densification
+    # statistics keep reference semantics.
+    cutoff = jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacity, 1.000001)))
+    rect_radius = jnp.ceil(jnp.minimum(3.0, cutoff) * jnp.sqrt(lam_max))
+
     radius_f = lax.stop_gradient(radius_f)
+    rect_radius = lax.stop_gradient(rect_radius)
     m2d = lax.stop_gradient(mean2d)
     rect_min = jnp.stack(
-        [jnp.clip(((m2d[:, 0] - radius_f) / tile_w).astype(jnp.int32), 0, tiles_x),
-         jnp.clip(((m2d[:, 1] - radius_f) / tile_h).astype(jnp.int32), 0, tiles_y)],
+        [jnp.clip(((m2d[:, 0] - rect_radius) / tile_w).astype(jnp.int32), 0, tiles_x),
+         jnp.clip(((m2d[:, 1] - rect_radius) / tile_h).astype(jnp.int32), 0, tiles_y)],
         axis=-1,
     )
     rect_max = jnp.stack(
-        [jnp.clip(((m2d[:, 0] + radius_f + tile_w - 1) / tile_w).astype(jnp.int32), 0, tiles_x),
-         jnp.clip(((m2d[:, 1] + radius_f + tile_h - 1) / tile_h).astype(jnp.int32), 0, tiles_y)],
+        [jnp.clip(((m2d[:, 0] + rect_radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, tiles_x),
+         jnp.clip(((m2d[:, 1] + rect_radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, tiles_y)],
         axis=-1,
     )
     n_tiles = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
 
-    valid = in_front & det_ok & (n_tiles > 0)
+    valid = in_front & det_ok & (n_tiles > 0) & (opacity > 1.0 / 255.0)
     if alive is not None:
         valid = valid & alive
     radius = jnp.where(valid, radius_f.astype(jnp.int32), 0)
