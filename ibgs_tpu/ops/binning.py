@@ -2,16 +2,22 @@
 
 The CUDA reference expands Gaussian→tile instances with a prefix sum +
 scatter, then radix-sorts 64-bit [tile|depth] keys with cub
-(rasterizer_impl.cu:187-255, 320-515).  On TPU we keep everything gather
-based and use XLA's stable sort — no hand-written sort needed, and no
-dynamic shapes: the instance list has a static capacity `cap` and a validity
-mask (overflow beyond `cap` is dropped, callers size `cap` generously and
-can read `n_instances` to detect truncation).
+(rasterizer_impl.cu:187-255, 320-515).  The TPU formulation avoids both the
+hand-written radix sort and any per-instance binary search:
 
-Ordering semantics match the reference exactly: instances sorted by
-(tile, depth, gaussian id) — the composition of two stable sorts below
-yields that triple order, the same tie-breaking the stable radix sort
-produces.
+  1. Gaussians are depth-sorted once (P elements, cheap).
+  2. Instance expansion assigns instance slots in depth-rank order via an
+     exclusive prefix sum; the owning Gaussian of each slot comes from a
+     scatter-max of range heads followed by an associative cummax — O(cap)
+     bandwidth instead of O(cap·log P) searchsorted gathers.
+  3. ONE stable single-key sort by tile id finishes the ordering: within a
+     tile, instances are already depth-ascending (step 1), and the stable
+     sort preserves the reference's (tile, depth, gaussian-id) tie order.
+  4. Tile ranges come from boundary scatters + a reverse cummin backfill,
+     again no searchsorted.
+
+The instance list has a static capacity `cap` with a validity mask
+(overflow is dropped; callers read `n_instances` to detect truncation).
 """
 from __future__ import annotations
 
@@ -34,32 +40,51 @@ class TileBins:
 
 def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int) -> TileBins:
     num_tiles = tiles_x * tiles_y
+    P = sp.depth.shape[0]
     n_tiles = lax.stop_gradient(sp.n_tiles)
-    offsets = jnp.cumsum(n_tiles) - n_tiles          # exclusive prefix sum
-    total = offsets[-1] + n_tiles[-1]
+    depth = lax.stop_gradient(sp.depth)
+
+    # 1. depth-rank the gaussians (stable → ties keep gaussian-id order)
+    order = jnp.argsort(jnp.where(n_tiles > 0, depth, jnp.inf), stable=True)
+    cnt = n_tiles[order]                              # counts in depth order
+    offsets = jnp.cumsum(cnt) - cnt                   # exclusive prefix
+    total = offsets[-1] + cnt[-1]
+
+    # 2. owning (depth-ranked) gaussian per instance slot: scatter range
+    #    heads, then cummax.  Zero-count runs share an offset with the one
+    #    live gaussian at its end, so the max picks the live owner.
+    head = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(cnt > 0, offsets, cap)].max(
+        jnp.arange(P, dtype=jnp.int32), mode="drop")
+    rank = lax.associative_scan(jnp.maximum, head)    # (cap,) depth rank
+    gid = order[rank]
 
     inst = jnp.arange(cap, dtype=jnp.int32)
     inst_valid = inst < total
-    # Owning gaussian of instance j: last g with offsets[g] <= j.
-    gid = jnp.searchsorted(offsets + n_tiles, inst, side="right").astype(jnp.int32)
-    gid = jnp.minimum(gid, sp.mean2d.shape[0] - 1)
-    local = inst - offsets[gid]
-    rect_w = (sp.rect_max[gid, 0] - sp.rect_min[gid, 0]).astype(jnp.int32)
-    rect_w = jnp.maximum(rect_w, 1)
+    local = inst - offsets[rank]
+    rect_w = jnp.maximum(
+        (sp.rect_max[gid, 0] - sp.rect_min[gid, 0]).astype(jnp.int32), 1)
     tx = sp.rect_min[gid, 0] + local % rect_w
     ty = sp.rect_min[gid, 1] + local // rect_w
-    tile = ty * tiles_x + tx
+    tile = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles)
 
-    depth = lax.stop_gradient(sp.depth)[gid]
-    depth = jnp.where(inst_valid, depth, jnp.inf)
-    tile = jnp.where(inst_valid, tile, num_tiles)
+    # 3. one stable sort by tile id (instances already depth-ordered)
+    tile_sorted, gid_sorted, valid_sorted = lax.sort(
+        (tile, gid, inst_valid.astype(jnp.int32)), num_keys=1)
 
-    # one stable lexicographic sort on (tile, depth); gaussian ids ride along
-    tile_sorted, _depth_sorted, gid_sorted, valid_sorted = lax.sort(
-        (tile, depth, gid, inst_valid.astype(jnp.int32)), num_keys=2)
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    stop = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
+    # 4. tile ranges: boundary scatters + reverse-cummin backfill
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tile_sorted[:-1]])
+    is_head = tile_sorted != prev
+    start = jnp.full((num_tiles + 1,), cap, jnp.int32).at[
+        jnp.where(is_head, tile_sorted, num_tiles + 1)].min(
+        pos, mode="drop")
+    start = start.at[num_tiles].min(
+        jnp.minimum(total, cap).astype(jnp.int32))
+    # backfill empty tiles with the next tile's start
+    start = lax.associative_scan(jnp.minimum, start, reverse=True)
+    stop = start[1:]
+    start = start[:num_tiles]
 
     return TileBins(
         gauss_id=gid_sorted,

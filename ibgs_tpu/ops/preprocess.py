@@ -44,12 +44,29 @@ class Splats2D:
     n_tiles: jnp.ndarray     # (P,) int32 tiles touched
 
 
-def ewa_project(cov3d: jnp.ndarray, mean_view: jnp.ndarray, cam: Camera) -> jnp.ndarray:
-    """World covariance (P,3,3) + view-space means (P,3) → 2D covariance (P,3).
+def _cov3d_sym6(scale: jnp.ndarray, quat: jnp.ndarray):
+    """Activated scales + unit quats → packed world covariance
+    (xx, xy, xz, yy, yz, zz), fully elementwise (batched 3x3 matmuls are
+    pathological on the MXU — tiny contractions belong on the VPU)."""
+    w, x, y, z = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
+    R = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+    s2 = [scale[:, k] * scale[:, k] for k in range(3)]
 
-    Returns packed (a, b, c) of the symmetric 2x2 screen covariance with the
-    low-pass dilation applied.
-    """
+    def sig(i, j):
+        return (R[i][0] * R[j][0] * s2[0] + R[i][1] * R[j][1] * s2[1]
+                + R[i][2] * R[j][2] * s2[2])
+
+    return [sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2)]
+
+
+def ewa_project(scale: jnp.ndarray, quat: jnp.ndarray,
+                mean_view: jnp.ndarray, cam: Camera) -> jnp.ndarray:
+    """Scales/quats + view-space means → packed 2D covariance (a, b, c)
+    with the low-pass dilation, all elementwise over P."""
     tz = mean_view[:, 2]
     lim_x = 1.3 * cam.tan_fovx
     lim_y = 1.3 * cam.tan_fovy
@@ -58,20 +75,28 @@ def ewa_project(cov3d: jnp.ndarray, mean_view: jnp.ndarray, cam: Camera) -> jnp.
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    # Perspective Jacobian rows for (u, v) = (fx·x/z, fy·y/z)
-    J = jnp.stack(
-        [
-            jnp.stack([cam.fx * inv_z, zeros, -cam.fx * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, cam.fy * inv_z, -cam.fy * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )  # (P, 2, 3)
-    U = J @ cam.view[:3, :3]  # (P, 2, 3)
-    cov2d = U @ cov3d @ jnp.swapaxes(U, -1, -2)  # (P, 2, 2)
-    a = cov2d[:, 0, 0] + COV2D_DILATION
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + COV2D_DILATION
+    j00 = cam.fx * inv_z
+    j02 = -cam.fx * tx * inv_z2
+    j11 = cam.fy * inv_z
+    j12 = -cam.fy * ty * inv_z2
+    Wm = cam.view[:3, :3]
+    # U = J @ W with J = [[j00, 0, j02], [0, j11, j12]]
+    U0 = [j00 * Wm[0, k] + j02 * Wm[2, k] for k in range(3)]
+    U1 = [j11 * Wm[1, k] + j12 * Wm[2, k] for k in range(3)]
+
+    S = _cov3d_sym6(scale, quat)
+    Sm = [[S[0], S[1], S[2]], [S[1], S[3], S[4]], [S[2], S[4], S[5]]]
+
+    def quad(Ua, Ub):
+        out = 0.0
+        for i in range(3):
+            for j in range(3):
+                out = out + Ua[i] * Sm[i][j] * Ub[j]
+        return out
+
+    a = quad(U0, U0) + COV2D_DILATION
+    b = quad(U0, U1)
+    c = quad(U1, U1) + COV2D_DILATION
     return jnp.stack([a, b, c], axis=-1)
 
 
@@ -144,8 +169,7 @@ def preprocess(
         axis=-1,
     )
 
-    cov3d = tf.build_covariance_3d(scale, quat)
-    cov2d = ewa_project(cov3d, mean_view, cam)
+    cov2d = ewa_project(scale, quat, mean_view, cam)
     a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
     det = a * c - b * b
     det_ok = det != 0.0

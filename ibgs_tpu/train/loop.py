@@ -199,7 +199,12 @@ def train(
         gt = stacks["images"][cam_idx]
         step_fn, phase = get_step(it)
 
-        nbrs = scene.nearest_ids[cam_idx][: opt.number_src_frames]
+        pool = scene.nearest_ids[cam_idx]
+        if opt.shuffle_source_frame and len(pool) > opt.number_src_frames:
+            nbrs = list(rng.choice(pool, size=opt.number_src_frames,
+                                   replace=False))
+        else:
+            nbrs = pool[: opt.number_src_frames]
         idx = np.zeros((rcfg.max_src,), np.int32)
         idx[: len(nbrs)] = nbrs
         src = _gather_src_jit(

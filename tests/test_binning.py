@@ -1,0 +1,52 @@
+"""Binning invariants: ordering, ranges, truncation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ibgs_tpu.ops import binning, preprocess
+from tests.utils import face_camera, random_cloud, simple_camera
+
+
+def _splats(n=60, seed=0, w=48, h=32):
+    cam = simple_camera(w, h)
+    p = face_camera(random_cloud(jax.random.PRNGKey(seed), n), cam)
+    sp = preprocess.preprocess(
+        p["xyz"], p["scale"], p["quat"], p["opacity"], p["sh_coeffs"], 0,
+        p["normal_world"], p["plane_offset"], cam, 8, 16)
+    return sp, w // 16, h // 8
+
+
+def test_instances_sorted_and_ranged():
+    sp, tx, ty = _splats()
+    bins = binning.bin_splats(sp, tx, ty, 4096)
+    total = int(bins.n_instances)
+    tiles = np.asarray(bins.tile_id)[:total]
+    assert (np.diff(tiles) >= 0).all()
+    depth = np.asarray(sp.depth)[np.asarray(bins.gauss_id)[:total]]
+    # depth ascending within each tile
+    for t in np.unique(tiles):
+        d = depth[tiles == t]
+        assert (np.diff(d) >= -1e-6).all()
+    # ranges partition the valid prefix
+    start = np.asarray(bins.tile_start)
+    stop = np.asarray(bins.tile_stop)
+    assert (stop >= start).all()
+    assert stop.max() == total
+    covered = sum(int(e - s) for s, e in zip(start, stop))
+    assert covered == total
+
+
+def test_counts_match_rects():
+    sp, tx, ty = _splats(seed=3)
+    bins = binning.bin_splats(sp, tx, ty, 4096)
+    assert int(bins.n_instances) == int(np.asarray(sp.n_tiles).sum())
+
+
+def test_truncation_is_prefix():
+    sp, tx, ty = _splats(n=200, seed=1)
+    full = binning.bin_splats(sp, tx, ty, 8192)
+    total = int(full.n_instances)
+    cap = total // 2
+    trunc = binning.bin_splats(sp, tx, ty, cap)
+    assert int(trunc.n_instances) == total          # reported pre-truncation
+    assert int(np.asarray(trunc.tile_stop).max()) <= cap
