@@ -184,8 +184,20 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
             Ti = T * _shift_down(cum, 1.0)
             crossing = ok & (Ti * (1.0 - alpha) < bc.T_STOP)
             crs = crossing.astype(jnp.float32)
-            prior_cross = (_cumsum_sub(crs) - crs) > 0.0
-            contrib = ok & (~crossing) & (~prior_cross)
+            any_cross = jnp.max(crs) > 0.0
+
+            def _with_cross(_):
+                prior = (_cumsum_sub(crs) - crs) > 0.0
+                ctr = ok & (~crossing) & (~prior)
+                Tn = T * _cumprod_sub(
+                    jnp.where(ctr, 1.0 - alpha, 1.0))[KI - 1:KI]
+                return ctr, Tn
+
+            def _no_cross(_):
+                return ok, T * cum[KI - 1:KI]
+
+            contrib, T_next = lax.cond(any_cross, _with_cross, _no_cross,
+                                       None)
 
             if geo:
                 depth_i, _den = _plane_depth(col, rayx, rayy)
@@ -209,6 +221,9 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
                     pb = pb & (~prior_fill)
                     pl_ok = pl_ok & (~prior_fill)
                     done = jnp.maximum(done, jnp.max(ff, axis=0, keepdims=True))
+                    # the fill cut narrows contrib → recompute the carry T
+                    T_next = T * _cumprod_sub(
+                        jnp.where(contrib, 1.0 - alpha, 1.0))[KI - 1:KI]
                 a_t = jnp.where(contrib, alpha * Ti, 0.0)
                 slot = jnp.where(pb, rank_b % cfg.before_cap,
                                  cfg.before_cap + rank_l)
@@ -242,8 +257,7 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
                          jnp.sum(col(FNY) * a_t, axis=0, keepdims=True),
                          jnp.sum(col(FNZ) * a_t, axis=0, keepdims=True)], axis=0)
 
-            T = T * _cumprod_sub(
-                jnp.where(contrib, 1.0 - alpha, 1.0))[KI - 1:KI]
+            T = T_next
             last = jnp.maximum(
                 last, jnp.max(jnp.where(contrib, pos, 0), axis=0, keepdims=True))
             done = jnp.maximum(done, jnp.max(crs, axis=0, keepdims=True))
@@ -347,19 +361,34 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
                 dLa = dLa + ndl * Ti - suff_n / om_a
                 Pn = Pn + jnp.sum(wn, axis=0, keepdims=True)
 
-                eq = (bcN[:, None, :] == pos[None]).astype(jnp.float32)
-                dd = jnp.sum(eq * dLbd[:, None, :], axis=0)     # (KI, NPIX)
-                gw = jnp.sum(eq * dLbw_i[0][:, None, :], axis=0)
-                gq = jnp.sum(eq * gS[:, None, :], axis=0)
-                dLa = dLa + gw * Ti
-                dLa = dLa - (TOTQ - (Qle + _cumsum_sub(gq))) / om_a
-                Qle = Qle + jnp.sum(gq, axis=0, keepdims=True)
+                pmin = s + j - start + 1
+                hit = (bcN >= pmin) & (bcN <= pmin + (KI - 1))
+                any_hit = jnp.max(hit.astype(jnp.int32)) > 0
 
-                _depth, denom = _plane_depth(col, rayx, rayy)
-                inv_den = 1.0 / denom
-                d_dist = dd * (-inv_den)
-                coef = dd * col(FD) * inv_den * inv_den
-                d_nx, d_ny, d_nz = coef * rayx, coef * rayy, coef
+                def _with_hit(dLa_Qle):
+                    dLa, Qle = dLa_Qle
+                    eq = (bcN[:, None, :] == pos[None]).astype(jnp.float32)
+                    dd = jnp.sum(eq * dLbd[:, None, :], axis=0)   # (KI, NPIX)
+                    gw = jnp.sum(eq * dLbw_i[0][:, None, :], axis=0)
+                    gq = jnp.sum(eq * gS[:, None, :], axis=0)
+                    dLa = dLa + gw * Ti
+                    dLa = dLa - (TOTQ - (Qle + _cumsum_sub(gq))) / om_a
+                    Qle = Qle + jnp.sum(gq, axis=0, keepdims=True)
+                    _depth, denom = _plane_depth(col, rayx, rayy)
+                    inv_den = 1.0 / denom
+                    d_dist = dd * (-inv_den)
+                    coef = dd * col(FD) * inv_den * inv_den
+                    return (dLa, Qle, d_dist,
+                            coef * rayx, coef * rayy, coef)
+
+                def _no_hit(dLa_Qle):
+                    dLa, Qle = dLa_Qle
+                    dLa = dLa - (TOTQ - Qle) / om_a
+                    z = jnp.zeros_like(dLa)
+                    return (dLa, Qle, z, z, z, z)
+
+                (dLa, Qle, d_dist, d_nx, d_ny, d_nz) = lax.cond(
+                    any_hit, _with_hit, _no_hit, (dLa, Qle))
             else:
                 d_dist = jnp.zeros_like(w)
                 d_nx = d_ny = d_nz = d_dist

@@ -114,12 +114,22 @@ def ibr_epilogue(
     used = bw != 0.0
 
     # --- per-buffer-entry reprojection & colour warping (forward.cu:520-563)
-    pt = jnp.stack([pdx[..., None] * bd, pdy[..., None] * bd, bd], axis=-1)
-    q = (jnp.einsum("sij,hwbj->shwbi", r2s[:, :3, :3], pt)
-         + r2s[:, :3, 3][:, None, None, None, :])          # (S,H,W,B,3)
-    inv_z = 1.0 / (q[..., 2] + EPS)
-    pu = q[..., 0] * cam.fx * inv_z + cam.cx               # (S,H,W,B)
-    pv = q[..., 1] * cam.fy * inv_z + cam.cy
+    # (tiny 3x3 transforms stay elementwise — batched small matmuls are
+    # pathological on the MXU)
+    px_, py_, pz_ = pdx[..., None] * bd, pdy[..., None] * bd, bd   # (H,W,B)
+
+    def xform(M, x, y, z, i):
+        return (M[:, i, 0][:, None, None, None] * x
+                + M[:, i, 1][:, None, None, None] * y
+                + M[:, i, 2][:, None, None, None] * z
+                + M[:, i, 3][:, None, None, None])
+
+    qx = xform(r2s, px_, py_, pz_, 0)                      # (S,H,W,B)
+    qy = xform(r2s, px_, py_, pz_, 1)
+    qz = xform(r2s, px_, py_, pz_, 2)
+    inv_z = 1.0 / (qz + EPS)
+    pu = qx * cam.fx * inv_z + cam.cx                      # (S,H,W,B)
+    pv = qy * cam.fy * inv_z + cam.cy
     inb = (pu >= 0.0) & (pu <= W - 1.0) & (pv >= 0.0) & (pv <= Hs - 1.0)
 
     colors = jnp.stack(
@@ -144,24 +154,34 @@ def ibr_epilogue(
 
     # --- median point & world-space viewing ray (forward.cu:569-592)
     mpt = jnp.stack([pdx * median, pdy * median, median], axis=-1)  # (H,W,3)
-    mpt_world = (mpt - cam.view[:3, 3]) @ cam.view[:3, :3]
+    d = mpt - cam.view[:3, 3]
+    V = cam.view[:3, :3]
+    mpt_world = jnp.stack(
+        [d[..., 0] * V[0, k] + d[..., 1] * V[1, k] + d[..., 2] * V[2, k]
+         for k in range(3)], axis=-1)
     ray = mpt_world - cam.cam_pos
     ray = ray * lax.rsqrt((ray * ray).sum(-1, keepdims=True) + EPS)
     ray = lax.stop_gradient(ray)
     mpt_world_c = lax.stop_gradient(mpt_world)
 
     # --- occlusion test of the median point per source (forward.cu:594-656)
-    qm = (jnp.einsum("sij,hwj->shwi", r2s[:, :3, :3], lax.stop_gradient(mpt))
-          + r2s[:, :3, 3][:, None, None, :])
-    inv_zm = 1.0 / (qm[..., 2] + EPS)
-    pum = qm[..., 0] * cam.fx * inv_zm + cam.cx
-    pvm = qm[..., 1] * cam.fy * inv_zm + cam.cy
+    mpt_c = lax.stop_gradient(mpt)
+    mx, my, mz = mpt_c[..., 0][None], mpt_c[..., 1][None], mpt_c[..., 2][None]
+
+    def xform_m(M, i):
+        return (M[:, i, 0][:, None, None] * mx + M[:, i, 1][:, None, None] * my
+                + M[:, i, 2][:, None, None] * mz + M[:, i, 3][:, None, None])
+
+    qmx, qmy, qmz = xform_m(r2s, 0), xform_m(r2s, 1), xform_m(r2s, 2)
+    inv_zm = 1.0 / (qmz + EPS)
+    pum = qmx * cam.fx * inv_zm + cam.cx
+    pvm = qmy * cam.fy * inv_zm + cam.cy
     inbm = (pum >= 0.0) & (pum <= W - 1.0) & (pvm >= 0.0) & (pvm <= Hs - 1.0)
     wdepth = jnp.stack(
         [bilinear_sample(depths[s], pum[s], pvm[s]) for s in range(S)], axis=0
     )
     wdepth = jnp.where(inbm, wdepth, 0.0)
-    depth_err = jnp.abs(wdepth - qm[..., 2]) * inv_zm       # (S,H,W)
+    depth_err = jnp.abs(wdepth - qmz) * inv_zm              # (S,H,W)
 
     src_real = jnp.arange(S, dtype=jnp.int32)[:, None, None] < src.count
     valid = (wdepth > 0.0) & (depth_err < depth_error_threshold) & src_real
