@@ -261,7 +261,7 @@ def load_scene(
     else:
         t_nearest = []
 
-    return SceneData(
+    scene = SceneData(
         train_cameras=train_c, test_cameras=test_c,
         train_infos=train_i, test_infos=test_i,
         images=train_imgs, test_images=test_imgs,
@@ -270,3 +270,22 @@ def load_scene(
         nearest_ids=nearest, test_nearest_ids=t_nearest,
         white_background=white_background,
     )
+    return scene
+
+
+def write_multiview_json(scene: SceneData, model_path: str):
+    """Persist the neighbour lists (reference Scene._write_train_multiview /
+    _write_test_multiview → multi_view[_test].json)."""
+    os.makedirs(model_path, exist_ok=True)
+    for fname, infos, nbr in (
+            ("multi_view.json", scene.train_infos, scene.nearest_ids),
+            ("multi_view_test.json", scene.test_infos,
+             scene.test_nearest_ids)):
+        if not infos:
+            continue
+        with open(os.path.join(model_path, fname), "w") as f:
+            for info, ids in zip(infos, nbr):
+                rec = {"ref_name": info.image_name,
+                       "nearest_name": [scene.train_infos[i].image_name
+                                        for i in ids]}
+                f.write(json.dumps(rec, separators=(",", ":")) + "\n")

@@ -88,6 +88,15 @@ def _shift_down(x, fill):
                      jnp.full_like(x, fill))
 
 
+def _last_row(x):
+    """(K, N) → (1, N) last row in a canonical layout (a plain [K-1:K]
+    slice keeps a sublane-offset layout that Mosaic refuses to merge
+    across lax.cond branches)."""
+    n = x.shape[0]
+    sel = (_sub_iota(n, x.shape[1]) == n - 1).astype(x.dtype)
+    return jnp.sum(x * sel, axis=0, keepdims=True)
+
+
 # --------------------------------------------------------------------------
 # shared per-substep math
 # --------------------------------------------------------------------------
@@ -134,7 +143,7 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
                 start_ref, stop_ref, scal_ref,
                 feats_hbm,
                 color_o, normal_o, t_o, nc_o, bd_o, bw_o, bcN_o,
-                fv2, fv, sem2):
+                fv2, fv, selR, tnR, sem2):
     t = pl.program_id(0)
     start = start_ref[t]
     stop = stop_ref[t]
@@ -184,20 +193,20 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
             Ti = T * _shift_down(cum, 1.0)
             crossing = ok & (Ti * (1.0 - alpha) < bc.T_STOP)
             crs = crossing.astype(jnp.float32)
-            any_cross = jnp.max(crs) > 0.0
+            # fast path: no transmittance crossing in this substep (common)
+            selR[:, :] = ok.astype(jnp.float32)
+            tnR[:, :] = T * _last_row(cum)
 
-            def _with_cross(_):
+            @pl.when(jnp.max(crs) > 0.0)
+            def _():
                 prior = (_cumsum_sub(crs) - crs) > 0.0
                 ctr = ok & (~crossing) & (~prior)
-                Tn = T * _cumprod_sub(
-                    jnp.where(ctr, 1.0 - alpha, 1.0))[KI - 1:KI]
-                return ctr, Tn
+                selR[:, :] = ctr.astype(jnp.float32)
+                tnR[:, :] = T * _last_row(_cumprod_sub(
+                    jnp.where(ctr, 1.0 - alpha, 1.0)))
 
-            def _no_cross(_):
-                return ok, T * cum[KI - 1:KI]
-
-            contrib, T_next = lax.cond(any_cross, _with_cross, _no_cross,
-                                       None)
+            contrib = selR[:, :] > 0.0
+            T_next = tnR[:, :]
 
             if geo:
                 depth_i, _den = _plane_depth(col, rayx, rayy)
@@ -222,8 +231,8 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
                     pl_ok = pl_ok & (~prior_fill)
                     done = jnp.maximum(done, jnp.max(ff, axis=0, keepdims=True))
                     # the fill cut narrows contrib → recompute the carry T
-                    T_next = T * _cumprod_sub(
-                        jnp.where(contrib, 1.0 - alpha, 1.0))[KI - 1:KI]
+                    T_next = T * _last_row(_cumprod_sub(
+                        jnp.where(contrib, 1.0 - alpha, 1.0)))
                 a_t = jnp.where(contrib, alpha * Ti, 0.0)
                 slot = jnp.where(pb, rank_b % cfg.before_cap,
                                  cfg.before_cap + rank_l)
@@ -296,7 +305,7 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
                 dLc_i, dLn_i, dLt_i, dLbd_i, dLbw_i,
                 _dzero,
                 dfeats_hbm,
-                fvr, fv, gv, acc, sem, rsem, osem):
+                fvr, fv, gv, acc, extraR, ddR, qleR, sem, rsem, osem):
     t = pl.program_id(0)
     start = start_ref[t]
     stop = stop_ref[t]
@@ -363,32 +372,30 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
 
                 pmin = s + j - start + 1
                 hit = (bcN >= pmin) & (bcN <= pmin + (KI - 1))
-                any_hit = jnp.max(hit.astype(jnp.int32)) > 0
+                # default: no buffer slot touches this substep (common)
+                extraR[:, :] = -(TOTQ - Qle) / om_a
+                ddR[:, :] = jnp.zeros((KI, NPIX), jnp.float32)
+                qleR[:, :] = Qle
 
-                def _with_hit(dLa_Qle):
-                    dLa, Qle = dLa_Qle
+                @pl.when(jnp.max(hit.astype(jnp.int32)) > 0)
+                def _():
                     eq = (bcN[:, None, :] == pos[None]).astype(jnp.float32)
                     dd = jnp.sum(eq * dLbd[:, None, :], axis=0)   # (KI, NPIX)
                     gw = jnp.sum(eq * dLbw_i[0][:, None, :], axis=0)
                     gq = jnp.sum(eq * gS[:, None, :], axis=0)
-                    dLa = dLa + gw * Ti
-                    dLa = dLa - (TOTQ - (Qle + _cumsum_sub(gq))) / om_a
-                    Qle = Qle + jnp.sum(gq, axis=0, keepdims=True)
-                    _depth, denom = _plane_depth(col, rayx, rayy)
-                    inv_den = 1.0 / denom
-                    d_dist = dd * (-inv_den)
-                    coef = dd * col(FD) * inv_den * inv_den
-                    return (dLa, Qle, d_dist,
-                            coef * rayx, coef * rayy, coef)
+                    extraR[:, :] = (gw * Ti
+                                    - (TOTQ - (Qle + _cumsum_sub(gq))) / om_a)
+                    ddR[:, :] = dd
+                    qleR[:, :] = Qle + jnp.sum(gq, axis=0, keepdims=True)
 
-                def _no_hit(dLa_Qle):
-                    dLa, Qle = dLa_Qle
-                    dLa = dLa - (TOTQ - Qle) / om_a
-                    z = jnp.zeros_like(dLa)
-                    return (dLa, Qle, z, z, z, z)
-
-                (dLa, Qle, d_dist, d_nx, d_ny, d_nz) = lax.cond(
-                    any_hit, _with_hit, _no_hit, (dLa, Qle))
+                dLa = dLa + extraR[:, :]
+                Qle = qleR[:, :]
+                dd = ddR[:, :]
+                _depth, denom = _plane_depth(col, rayx, rayy)
+                inv_den = 1.0 / denom
+                d_dist = dd * (-inv_den)
+                coef = dd * col(FD) * inv_den * inv_den
+                d_nx, d_ny, d_nz = coef * rayx, coef * rayy, coef
             else:
                 d_dist = jnp.zeros_like(w)
                 d_nx = d_ny = d_nz = d_dist
@@ -422,7 +429,7 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
             )
             gv[pl.ds(j, KI), :] = grow
 
-            T = T * cum[KI - 1:KI]
+            T = T * _last_row(cum)
             return (T, Pc, Pn, Qle)
 
         sst = lax.fori_loop(0, CHUNK // KI, sub, st)
@@ -461,6 +468,8 @@ def _fwd_call(static, feats, tile_start, tile_stop, scal):
                    _tile_block(MAXB)],
         scratch_shapes=[pltpu.VMEM((2, CF, CHUNK), jnp.float32),
                         pltpu.VMEM((CHUNK, CF), jnp.float32),
+                        pltpu.VMEM((KI, NPIX), jnp.float32),
+                        pltpu.VMEM((1, NPIX), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     f32, i32 = jnp.float32, jnp.int32
@@ -500,6 +509,9 @@ def _bwd_call(static, feats, tile_start, tile_stop, scal, saved, cts):
                         pltpu.VMEM((CHUNK, CF), jnp.float32),
                         pltpu.VMEM((CHUNK, CF), jnp.float32),
                         pltpu.VMEM((CF, CHUNK), jnp.float32),
+                        pltpu.VMEM((KI, NPIX), jnp.float32),
+                        pltpu.VMEM((KI, NPIX), jnp.float32),
+                        pltpu.VMEM((1, NPIX), jnp.float32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(())],

@@ -52,6 +52,11 @@ def train(
     log_every: int = 200,
 ):
     os.makedirs(model_path, exist_ok=True)
+    from ibgs_tpu.data.dataset import write_multiview_json
+    try:
+        write_multiview_json(scene, model_path)
+    except Exception:
+        pass
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 
@@ -176,6 +181,17 @@ def train(
     set_normal_from_axis = jax.jit(
         lambda m: m.replace(params=m.params.replace(
             normal=jax.lax.stop_gradient(m.smallest_axis()))))
+
+    # on resume past the geometry threshold, rebuild the per-view depth
+    # cache with a no-grad depth sweep (reference train.py:242-256)
+    if start_checkpoint and first_iter > geo_from:
+        from ibgs_tpu.renderer import render_depth_view
+        depth_fn = jax.jit(lambda m, c: render_depth_view(
+            m, c, rcfg, learnt_normal=opt.learnt_normal))
+        for ci, cam_i in enumerate(scene.train_cameras):
+            stacks["depths"] = update_depth(
+                stacks["depths"], ci, depth_fn(state.model, cam_i))
+        print(f"[resume] depth cache rebuilt for {n_train} views")
 
     stack_order = []
     net_lr = 1e-3

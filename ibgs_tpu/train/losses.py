@@ -118,3 +118,36 @@ def multi_view_photometric(gt, warped_stack, valid_mask,
     loss = ((1 - photo_ssim_weight) * l1_term
             + photo_ssim_weight * ssim_term) * photo_weight
     return jnp.where(any_valid > 0, loss, 0.0)
+
+
+def patch_offsets(half_patch: int):
+    """(1, P², 2) grid of integer offsets (reference graphics_utils.py:212)."""
+    r = jnp.arange(-half_patch, half_patch + 1, dtype=jnp.float32)
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    return jnp.stack([ox, oy], -1).reshape(1, -1, 2)
+
+
+def patch_warp(H: jnp.ndarray, uv: jnp.ndarray):
+    """Apply per-patch homographies (B, 3, 3) to pixel grids (B, P, 2)
+    (reference graphics_utils.py:216-225)."""
+    ones = jnp.ones(uv.shape[:-1] + (1,), uv.dtype)
+    huv = jnp.concatenate([uv, ones], axis=-1)
+    out = jnp.einsum("bik,bpk->bpi", H, huv)
+    return out[..., :2] / (out[..., 2:] + 1e-10)
+
+
+def lncc(ref: jnp.ndarray, nea: jnp.ndarray):
+    """Local normalised cross-correlation over pixel patches
+    (reference loss_utils.py:133-168).  ref/nea: (B, P²) flattened patches.
+    Returns (ncc (B, 1), mask (B, 1))."""
+    bs, tps = ref.shape
+    ref_sum = ref.sum(-1)
+    nea_sum = nea.sum(-1)
+    ref_avg = ref_sum / tps
+    nea_avg = nea_sum / tps
+    cross = (ref * nea).sum(-1) - nea_avg * ref_sum
+    ref_var = (ref * ref).sum(-1) - ref_avg * ref_sum
+    nea_var = (nea * nea).sum(-1) - nea_avg * nea_sum
+    cc = cross * cross / (ref_var * nea_var + 1e-8)
+    ncc = jnp.clip(1.0 - cc, 0.0, 2.0)[:, None]
+    return ncc, ncc < 0.9
