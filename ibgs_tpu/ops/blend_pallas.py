@@ -573,6 +573,26 @@ _blend_core.defvjp(_blend_fwd_rule, _blend_bwd_rule)
 # public wrapper
 # --------------------------------------------------------------------------
 
+def blend(inst: Instances, inst_dummy_abs, bins, Wp: int, Hp: int,
+          fx, fy, cx, cy, cfg: BlendConfig, row0=0) -> BlendOutputs:
+    """Blend from an Instances pytree (convenience wrapper over
+    blend_packed)."""
+    cap = inst.opacity.shape[0]
+    if inst_dummy_abs is None:
+        inst_dummy_abs = jnp.zeros((cap, 2), jnp.float32)
+    feats_inst = jnp.stack(
+        [inst.mean2d[:, 0], inst.mean2d[:, 1],
+         inst.conic[:, 0], inst.conic[:, 1], inst.conic[:, 2],
+         inst.opacity,
+         inst.rgb[:, 0], inst.rgb[:, 1], inst.rgb[:, 2],
+         inst.normal[:, 0], inst.normal[:, 1], inst.normal[:, 2],
+         inst.dist,
+         inst_dummy_abs[:, 0], inst_dummy_abs[:, 1]],
+        axis=1)
+    return blend_packed(feats_inst, bins, Wp, Hp, fx, fy, cx, cy, cfg,
+                        row0=row0)
+
+
 def _tiles_to_image(x, tiles_y, tiles_x, th, tw):
     """(num_tiles, C, NPIX) → (H', W', C);  (num_tiles, 1, NPIX) → (H', W')."""
     C = x.shape[1]
@@ -581,30 +601,21 @@ def _tiles_to_image(x, tiles_y, tiles_x, th, tw):
     return out[..., 0] if C == 1 else out
 
 
-def blend(inst: Instances, inst_dummy_abs, bins, Wp: int, Hp: int,
-          fx, fy, cx, cy, cfg: BlendConfig, row0=0) -> BlendOutputs:
+def blend_packed(feats_inst, bins, Wp: int, Hp: int,
+                 fx, fy, cx, cy, cfg: BlendConfig, row0=0) -> BlendOutputs:
+    """Blend from a pre-packed (cap, <=CF) per-instance feature table
+    (column layout FX..FAY — see the channel constants above)."""
     if cfg.tile_h * cfg.tile_w != NPIX:
         raise ValueError(
             f"pallas backend requires tile_h*tile_w == {NPIX} "
             f"(got {cfg.tile_h}x{cfg.tile_w})")
-    cap = inst.opacity.shape[0]
+    cap = feats_inst.shape[0]
     cap_pad = (-(-cap // CHUNK) + 1) * CHUNK
     tiles_x = Wp // cfg.tile_w
     tiles_y = Hp // cfg.tile_h
 
-    if inst_dummy_abs is None:
-        inst_dummy_abs = jnp.zeros((cap, 2), jnp.float32)
-    cols = [
-        inst.mean2d[:, 0], inst.mean2d[:, 1],
-        inst.conic[:, 0], inst.conic[:, 1], inst.conic[:, 2],
-        inst.opacity,
-        inst.rgb[:, 0], inst.rgb[:, 1], inst.rgb[:, 2],
-        inst.normal[:, 0], inst.normal[:, 1], inst.normal[:, 2],
-        inst.dist,
-        inst_dummy_abs[:, 0], inst_dummy_abs[:, 1],
-    ]
-    feats = jnp.stack(cols, axis=0)            # (CF, cap)
-    feats = jnp.pad(feats, ((0, CF - len(cols)), (0, cap_pad - cap)))
+    feats = jnp.pad(feats_inst,
+                    ((0, cap_pad - cap), (0, CF - feats_inst.shape[1]))).T
     scal = jnp.stack([fx, fy, cx, cy,
                       jnp.asarray(row0, jnp.float32) * 1.0]).astype(jnp.float32)
 
