@@ -150,3 +150,105 @@ def sharded_train_step(opt_like, rcfg: RasterConfig, mesh: Mesh,
         return model, loss
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-axis (primitive) sharding: FSDP-style storage + optimizer split
+# ---------------------------------------------------------------------------
+
+def fsdp_train_step(opt_like, rcfg: RasterConfig, mesh: Mesh,
+                    width: int, height: int, lrcfg: LRConfig = LRConfig()):
+    """Training step with Gaussian parameters + Adam moments sharded over
+    the WHOLE mesh (leading P axis), cameras over dp and image row bands
+    over tp:
+
+      * params are all-gathered over ICI at the start of the step (the
+        splatting analogue of FSDP weight gathering);
+      * per-Gaussian gradients are psum_scatter'ed back to the owning
+        shard, fused with the cross-(camera, band) reduction;
+      * the Adam update runs on each device's 1/(dp·tp) slice only.
+
+    Scales Gaussian memory (params + moments + grads) by the device count —
+    the reference caps scenes at 5M splats on one GPU (gaussian_model.py
+    max_all_points); this removes that bound on a pod slice.
+    """
+    dp, tp = mesh.shape["dp"], mesh.shape["tp"]
+    n_dev = dp * tp
+    band = height // tp
+    assert height % (tp * rcfg.tile_h) == 0
+
+    def shard_fn(p_shard, mu_shard, nu_shard, rest: GaussianModel,
+                 cam_arrays, gts, srcs, iteration):
+        full = jax.tree.map(
+            lambda x: lax.all_gather(x, ("dp", "tp"), axis=0, tiled=True),
+            p_shard)
+        model = rest.replace(params=full)
+        cam = _band_camera(cam_arrays, width, height)
+        row0 = lax.axis_index("tp") * band
+
+        def loss_fn(params):
+            m = model.replace(params=params)
+            normal_w, offset = m.oriented_normal(cam.cam_pos, learnt=True)
+            src = jax.tree.map(lambda x: x[0], srcs)
+            res = rasterize(
+                xyz=params.xyz, scale=m.scale, quat=m.quat_unit,
+                opacity=m.opacity, sh_coeffs=m.sh_coeffs,
+                active_sh_degree=m.active_sh_degree,
+                normal_world=normal_w, plane_offset=offset,
+                cam=cam, bg=jnp.zeros(3), cfg=rcfg, src=src,
+                alive=m.alive, render_geo=True,
+                viewport_row0=row0, viewport_rows=band,
+            )
+            return losses.dssim_l1(res.render, gts[0]) + \
+                1e-4 * (res.median_depth ** 2).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(full)
+        loss = lax.psum(loss, ("dp", "tp")) / (dp * tp)
+        # reduce across replicas AND scatter to the owning shard in one
+        # collective (reduce_scatter over ICI)
+        g_shard = jax.tree.map(
+            lambda g: lax.psum_scatter(g, ("dp", "tp"), scatter_dimension=0,
+                                       tiled=True) / dp,
+            grads)
+        # masked Adam on the local slice
+        P_shard = p_shard.xyz.shape[0]
+        shard_ix = (lax.axis_index("dp") * tp + lax.axis_index("tp"))
+        alive_shard = lax.dynamic_slice_in_dim(
+            rest.alive, shard_ix * P_shard, P_shard, 0)
+        lrs = lr_tree(lrcfg, iteration.astype(jnp.float32), 1.0)
+        step = rest.step + 1
+        bc1 = 1.0 - 0.9 ** step.astype(jnp.float32)
+        bc2 = 1.0 - 0.999 ** step.astype(jnp.float32)
+
+        def upd(p, m_, v_, g, lr):
+            g = jnp.where(
+                alive_shard.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0)
+            m_ = 0.9 * m_ + 0.1 * g
+            v_ = 0.999 * v_ + 0.001 * g * g
+            return (p - lr * (m_ / bc1) / (jnp.sqrt(v_ / bc2) + 1e-15),
+                    m_, v_)
+
+        out = jax.tree.map(upd, p_shard, mu_shard, nu_shard, g_shard, lrs)
+        leaf = lambda t: isinstance(t, tuple)
+        new_p = jax.tree.map(lambda t: t[0], out, is_leaf=leaf)
+        new_mu = jax.tree.map(lambda t: t[1], out, is_leaf=leaf)
+        new_nu = jax.tree.map(lambda t: t[2], out, is_leaf=leaf)
+        return new_p, new_mu, new_nu, loss
+
+    smapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(("dp", "tp")), P(("dp", "tp")), P(("dp", "tp")),
+                  P(), P("dp"), P("dp", "tp"), P("dp"), P()),
+        out_specs=(P(("dp", "tp")), P(("dp", "tp")), P(("dp", "tp")), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(model: GaussianModel, cam_arrays, gts, srcs, iteration):
+        new_p, new_mu, new_nu, loss = smapped(
+            model.params, model.mu, model.nu, model, cam_arrays, gts, srcs,
+            iteration)
+        return model.replace(params=new_p, mu=new_mu, nu=new_nu,
+                             step=model.step + 1), loss
+
+    return step

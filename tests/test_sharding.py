@@ -95,3 +95,30 @@ def test_sharded_train_step_runs_and_improves():
         m, l = step(m, cam_arrays, gts, srcs, jnp.int32(i))
     assert np.isfinite(float(l))
     assert float(l) < float(l0)
+
+
+def test_fsdp_train_step_matches_replicated_grads():
+    """FSDP (gaussian-sharded) step must track the replicated step."""
+    from ibgs_tpu.parallel.sharding import fsdp_train_step
+    from ibgs_tpu.ops.epilogue import SourceViews
+    params, cam = _params(seed=3, n=60)
+    model = init_from_points(np.asarray(params["xyz"]),
+                             np.full((60, 3), 0.5, np.float32), 0,
+                             capacity=128)
+    mesh = make_mesh(dp=2, tp=4)
+    S, H, W = 2, 64, 32
+    srcs = SourceViews(
+        images=jnp.zeros((2, S, H, W, 3)), depths=jnp.zeros((2, S, H, W)),
+        ref_to_src=jnp.zeros((2, S, 4, 4)), cam_pos=jnp.zeros((2, S, 3)),
+        count=jnp.zeros((2,), jnp.int32))
+    gts = jnp.tile(jnp.asarray(
+        np.linspace(0, 1, H * W * 3, dtype=np.float32).reshape(1, H, W, 3)),
+        (2, 1, 1, 1))
+    ca = _cam_stack([cam, cam])
+    fsdp = fsdp_train_step(None, CFG, mesh, W, H)
+    repl = sharded_train_step(None, CFG, mesh, W, H)
+    m1, l1 = fsdp(model, ca, gts, srcs, jnp.int32(1))
+    m2, l2 = repl(model, ca, gts, srcs, jnp.int32(1))
+    assert abs(float(l1) - float(l2)) < 1e-5
+    np.testing.assert_allclose(np.asarray(m1.params.xyz),
+                               np.asarray(m2.params.xyz), atol=2e-5)
