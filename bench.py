@@ -28,8 +28,9 @@ def main():
 
     W = int(os.environ.get("BENCH_W", 960))
     H = int(os.environ.get("BENCH_H", 544))
-    n = int(os.environ.get("BENCH_N", 200_000))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    n = int(os.environ.get("BENCH_N", 100_000))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+    cap = int(os.environ.get("BENCH_CAP", 1 << 21))
 
     rng = np.random.default_rng(0)
     pts = (rng.random((n, 3)) * 2.0 - 1.0).astype(np.float32)
@@ -38,7 +39,7 @@ def main():
     model = init_from_points(pts, cols, max_sh_degree=2)
     cam = simple_camera(W, H)
     backend = "oracle" if jax.default_backend() == "cpu" else "pallas"
-    cfg = RasterConfig(instance_cap=1 << 20, backend=backend)
+    cfg = RasterConfig(instance_cap=cap, backend=backend)
     S = 4
     src = SourceViews(
         images=jnp.asarray(rng.random((S, H, W, 3)), jnp.float32),
@@ -57,16 +58,21 @@ def main():
                 + 0.1 * jnp.abs(res.ibr.warped_image).mean()
                 + 1e-3 * res.median_depth.mean())
 
-    step = jax.jit(jax.grad(loss_fn))
+    grad_fn = jax.grad(lambda p, e: loss_fn(
+        p.replace(xyz=p.xyz + e)), argnums=0)
+
+    def gnorm(eps):
+        g = grad_fn(model.params, eps)
+        return sum(jnp.sum(x * x) for x in jax.tree.leaves(g))
+
+    step = jax.jit(gnorm)
     t0 = time.time()
-    g = step(model.params)
-    jax.block_until_ready(g)
+    v = float(step(jnp.float32(0)))
     compile_s = time.time() - t0
 
     t0 = time.time()
-    for _ in range(iters):
-        g = step(model.params)
-    jax.block_until_ready(g)
+    for k in range(iters):
+        v = float(step(jnp.float32(k) * 1e-7))   # scalar D2H forces sync
     dt = (time.time() - t0) / iters
 
     pix_per_s = H * W / dt
