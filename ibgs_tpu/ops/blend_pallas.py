@@ -116,10 +116,8 @@ def _pixel_coords(cfg: BlendConfig, tiles_x: int, t, scal_ref):
 
 def _alpha_terms(fv, j, px, py):
     """Evaluate KI instances (rows j..j+KI of the VMEM chunk) at all pixels."""
-    block = fv[pl.ds(j, KI), :]                     # ONE (KI, CF) VMEM load
-
     def col(c):
-        return lax.slice_in_dim(block, c, c + 1, axis=1)   # (KI, 1) reg slice
+        return fv[pl.ds(j, KI), c:c + 1]           # (KI, 1)
 
     dx = col(FX) - px                               # (KI, NPIX)
     dy = col(FY) - py

@@ -62,33 +62,27 @@ def bilinear_sample(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
     Matches the layered-texture path of the reference (texel-centre
     convention with clamp-to-edge addressing, forward.cu:550).
 
-    Implemented as ONE 2x2-footprint `lax.gather` per sample point instead
-    of four scalar-pixel gathers — random gathers are the expensive TPU
-    primitive, and a (2, 2, C) slice costs about the same as a single
-    pixel.  Clamping is folded into the anchor clip + fraction clip
-    (identical values to per-corner index clamping everywhere except the
-    measure-zero exact image border).
+    Four per-corner gathers.  (A single 2x2-footprint lax.gather was tried
+    and reverted: its transpose blows HBM by ~10 GB at 1080p-scale shapes.)
     """
     H, W = img.shape[0], img.shape[1]
-    chan = img.ndim == 3
-    im = img if chan else img[..., None]
-    C = im.shape[-1]
-    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
-    y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
-    fu = jnp.clip(u - x0, 0.0, 1.0)[..., None]
-    fv = jnp.clip(v - y0, 0.0, 1.0)[..., None]
-    nd = x0.ndim
-    blk = lax.gather(
-        im, jnp.stack([y0, x0], axis=-1),
-        lax.GatherDimensionNumbers(
-            offset_dims=(nd, nd + 1, nd + 2),
-            collapsed_slice_dims=(),
-            start_index_map=(0, 1)),
-        slice_sizes=(2, 2, C), mode="clip")         # (..., 2, 2, C)
-    top = blk[..., 0, 0, :] * (1 - fu) + blk[..., 0, 1, :] * fu
-    bot = blk[..., 1, 0, :] * (1 - fu) + blk[..., 1, 1, :] * fu
-    out = top * (1 - fv) + bot * fv
-    return out if chan else out[..., 0]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    x0 = jnp.clip(u0.astype(jnp.int32), 0, W - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y0 = jnp.clip(v0.astype(jnp.int32), 0, H - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    i00 = img[y0, x0]
+    i01 = img[y0, x1]
+    i10 = img[y1, x0]
+    i11 = img[y1, x1]
+    if img.ndim == 3:
+        fu = fu[..., None]
+        fv = fv[..., None]
+    return ((1 - fu) * (1 - fv) * i00 + fu * (1 - fv) * i01
+            + (1 - fu) * fv * i10 + fu * fv * i11)
 
 
 def median_depth_only(blend: BlendOutputs) -> jnp.ndarray:
@@ -141,11 +135,11 @@ def ibr_epilogue(
     pv = qy * cam.fy * inv_z + cam.cy
     inb = (pu >= 0.0) & (pu <= W - 1.0) & (pv >= 0.0) & (pv <= Hs - 1.0)
 
-    colors = jnp.stack(
-        [bilinear_sample(images[s], pu[s], pv[s]) for s in range(S)], axis=0
-    )  # (S,H,W,B,3)
+    # accumulate per source view to keep peak memory at one (H,W,B,3) slab
     w_eff = bw[None] * inb.astype(bw.dtype)                 # (S,H,W,B)
-    wsum_color = (colors * w_eff[..., None]).sum(axis=3)    # (S,H,W,3)
+    wsum_color = jnp.stack(
+        [(bilinear_sample(images[s], pu[s], pv[s])
+          * w_eff[s][..., None]).sum(axis=2) for s in range(S)], axis=0)
     wsum = w_eff.sum(axis=3)                                # (S,H,W)
 
     tot_w = (bw * used).sum(-1)                             # (H,W)
