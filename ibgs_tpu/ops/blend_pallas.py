@@ -3,13 +3,17 @@
 TPU-first design (NOT a translation of the CUDA kernels):
 
   * Tiles are 8x16 = 128 pixels — one vector-lane row.  Per step the kernel
-    processes KI=8 depth-ordered instances *simultaneously* as the sublane
-    axis of (8, 128) vregs: the serial CUDA loop becomes masked prefix
+    processes KI=32 depth-ordered instances *simultaneously* as the sublane
+    axis of (32, 128) vregs: the serial CUDA loop becomes masked prefix
     products (transmittance), prefix sums (buffer ranks) and slot-vectorised
     "last-writer-wins" selections for the median buffer.
   * Instance attributes are packed as one (cap_pad, 16) f32 array in HBM and
     DMA'd per 256-instance chunk into VMEM; tile ranges arrive via scalar
     prefetch.  The chunk loop early-exits once every pixel saturates.
+  * The median-buffer scatter (the most expensive part of the geo path) is
+    sized to the *actual* buffer_len (not the compiled max of 8) and skipped
+    entirely via pl.when once a substep pushes no entries — after the below
+    buffer fills, the long low-alpha tail pays nothing for it.
   * The backward kernel re-walks the instances FORWARD (no T-division like
     reference backward.cu:653): the suffix sums of the alpha recursion are
     `total - inclusive_prefix`, with the totals recovered from the saved
@@ -17,7 +21,9 @@ TPU-first design (NOT a translation of the CUDA kernels):
   * Per-instance gradients land in disjoint rows of a (cap_pad, 16) array —
     tile ranges partition the instance list, so there are no races and no
     atomics; the gather that produced the instances turns these rows into
-    deterministic per-Gaussian segment sums under autodiff.
+    deterministic per-Gaussian segment sums under autodiff.  Both the
+    instance reads and the gradient read-modify-writes are double-buffered
+    DMA pipelines.
 
 Forward semantics are validated against the pure-JAX oracle
 (blend_oracle.py), which replicates reference forward.cu:305-665 exactly.
@@ -41,11 +47,9 @@ from ibgs_tpu.ops import blend_common as bc
 from ibgs_tpu.ops.blend_common import BlendConfig, BlendOutputs, Instances
 
 NPIX = 128          # pixels per tile (one lane row: tile_h x tile_w = 8x16)
-KI = 8              # instances per vector step (sublane axis)
+KI = 32             # instances per vector step (sublane axis)
 CHUNK = 256         # instances DMA'd from HBM per step
 CF = 16             # packed feature channels
-ROW = 128           # HBM row width (lane-aligned; channels CF..ROW are padding)
-MAXB = bc.MAX_BUFFER
 
 # feature channel layout
 FX, FY, FCA, FCB, FCC, FOP, FR, FG, FB, FNX, FNY, FNZ, FD, FAX, FAY, FPAD = range(16)
@@ -143,12 +147,12 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
                 start_ref, stop_ref, scal_ref,
                 feats_hbm,
                 color_o, normal_o, t_o, nc_o, bd_o, bw_o, bcN_o,
-                fv2, fv, selR, tnR, sem2):
+                fv2, fv, selR, tnR, bdR, bwR, bcR, sem2):
+    B = cfg.buffer_len
     t = pl.program_id(0)
     start = start_ref[t]
     stop = stop_ref[t]
     px, py, rayx, rayy = _pixel_coords(cfg, tiles_x, t, scal_ref)
-    slotI = _sub_iota(MAXB)                         # (MAXB, NPIX)
     geo = cfg.render_geo or cfg.depth_only
 
     # windows aligned down to CHUNK so the lane-dim DMA slice stays aligned;
@@ -234,22 +238,36 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
                     T_next = T * _last_row(_cumprod_sub(
                         jnp.where(contrib, 1.0 - alpha, 1.0)))
                 a_t = jnp.where(contrib, alpha * Ti, 0.0)
-                slot = jnp.where(pb, rank_b % cfg.before_cap,
-                                 cfg.before_cap + rank_l)
                 push = pb | pl_ok
-                eq = (slot[None] == slotI[:, :1][:, None]) & push[None]
-                idxm = jnp.where(eq, _sub_iota(KI)[None], -1)   # (MAXB,KI,NPIX)
-                win = jnp.max(idxm, axis=1)                     # (MAXB, NPIX)
-                oh = ((idxm == win[:, None, :]) & eq).astype(jnp.float32)
-                has = win >= 0
-                bd = jnp.where(has, jnp.sum(depth_i[None] * oh, axis=1), bd)
-                bw = jnp.where(has, jnp.sum(a_t[None] * oh, axis=1), bw)
-                bcN = jnp.where(
-                    has,
-                    jnp.sum(pos[None].astype(jnp.float32) * oh,
-                            axis=1).astype(jnp.int32),
-                    bcN,
-                )
+                # buffer scatter: last-writer-wins per slot, skipped when
+                # this substep pushes nothing (the common post-median tail)
+                bdR[:, :] = bd
+                bwR[:, :] = bw
+                bcR[:, :] = bcN
+
+                @pl.when(jnp.max(push.astype(jnp.float32)) > 0.0)
+                def _():
+                    slot = jnp.where(pb, rank_b % cfg.before_cap,
+                                     cfg.before_cap + rank_l)
+                    slotB = lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
+                    eq = (slot[None] == slotB) & push[None]     # (B,KI,NPIX)
+                    idxm = jnp.where(eq, _sub_iota(KI)[None], -1)
+                    win = jnp.max(idxm, axis=1)                 # (B, NPIX)
+                    oh = ((idxm == win[:, None, :]) & eq).astype(jnp.float32)
+                    has = win >= 0
+                    bdR[:, :] = jnp.where(
+                        has, jnp.sum(depth_i[None] * oh, axis=1), bd)
+                    bwR[:, :] = jnp.where(
+                        has, jnp.sum(a_t[None] * oh, axis=1), bw)
+                    bcR[:, :] = jnp.where(
+                        has,
+                        jnp.sum(pos[None].astype(jnp.float32) * oh,
+                                axis=1).astype(jnp.int32),
+                        bcN)
+
+                bd = bdR[:, :]
+                bw = bwR[:, :]
+                bcN = bcR[:, :]
                 bptr = bptr + jnp.sum(pb.astype(jnp.int32), axis=0, keepdims=True)
                 blw = blw + jnp.sum(pl_ok.astype(jnp.int32), axis=0, keepdims=True)
             else:
@@ -278,10 +296,10 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
 
     z1 = jnp.zeros((1, NPIX), jnp.float32)
     z3 = jnp.zeros((3, NPIX), jnp.float32)
-    zB = jnp.zeros((MAXB, NPIX), jnp.float32)
+    zB = jnp.zeros((B, NPIX), jnp.float32)
     i1 = jnp.zeros((1, NPIX), jnp.int32)
     st = (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32), z1, z3, z3,
-          zB, zB, jnp.zeros((MAXB, NPIX), jnp.int32), i1, i1, i1)
+          zB, zB, jnp.zeros((B, NPIX), jnp.int32), i1, i1, i1)
     st = lax.while_loop(chunk_cond, chunk_body, st)
     (_c, T, _done, C3, N3, bd, bw, bcN, _bp, _bl, last) = st
 
@@ -305,7 +323,7 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
                 dLc_i, dLn_i, dLt_i, dLbd_i, dLbw_i,
                 _dzero,
                 dfeats_hbm,
-                fvr, fv, gv, acc, extraR, ddR, qleR, sem, rsem, osem):
+                fv2, fv, gv, acc2, extraR, ddR, qleR, sem2, rsem, osem):
     t = pl.program_id(0)
     start = start_ref[t]
     stop = stop_ref[t]
@@ -320,25 +338,49 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
     if geo:
         dLn = dLn_i[0]
         TOTn = jnp.sum(normal_s[0] * dLn, axis=0, keepdims=True)
-        bcN = bcN_s[0]                              # (MAXB, NPIX) int32
-        gS = dLbw_i[0] * bw_s[0]                    # (MAXB, NPIX)
+        bcN = bcN_s[0]                              # (B, NPIX) int32
+        gS = dLbw_i[0] * bw_s[0]                    # (B, NPIX)
         dLbd = dLbd_i[0]
         TOTQ = jnp.sum(gS, axis=0, keepdims=True)
 
     s_al = lax.div(start, CHUNK) * CHUNK
     nchunk = lax.div(stop - s_al + CHUNK - 1, CHUNK)
 
+    def fv_dma(w, slot):
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(s_al + w * CHUNK, CHUNK)],
+            fv2.at[slot], sem2.at[slot])
+
+    def out_cp(w, slot):
+        return pltpu.make_async_copy(
+            acc2.at[slot],
+            dfeats_hbm.at[:, pl.ds(s_al + w * CHUNK, CHUNK)],
+            osem.at[slot])
+
+    @pl.when(nchunk > 0)
+    def _():
+        fv_dma(0, 0).start()
+
     def chunk_body(c, st):
         s = s_al + c * CHUNK
-        cp = pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(s, CHUNK)], fvr, sem)
-        cp.start()
-        # accumulate: read the current gradient block alongside
+        slot = c % 2
+
+        # the gradient slab for this slot was last written for chunk c-2;
+        # its RMW buffer must be free before we re-read into it.
+        @pl.when(c >= 2)
+        def _():
+            out_cp(c - 2, slot).wait()
+
         rd = pltpu.make_async_copy(
-            dfeats_hbm.at[:, pl.ds(s, CHUNK)], acc, rsem)
+            dfeats_hbm.at[:, pl.ds(s, CHUNK)], acc2.at[slot], rsem.at[slot])
         rd.start()
-        cp.wait()
-        fv[:, :] = jnp.transpose(fvr[:, :], (1, 0))   # (CHUNK, CF)
+
+        @pl.when(c + 1 < nchunk)
+        def _():
+            fv_dma(c + 1, (c + 1) % 2).start()
+
+        fv_dma(c, slot).wait()
+        fv[:, :] = jnp.transpose(fv2[slot], (1, 0))   # (CHUNK, CF)
 
         def sub(si, sst):
             (T, Pc, Pn, Qle) = sst
@@ -434,17 +476,23 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
 
         sst = lax.fori_loop(0, CHUNK // KI, sub, st)
         rd.wait()
-        acc[:, :] = acc[:, :] + jnp.transpose(gv[:, :CF], (1, 0))
-        ocp = pltpu.make_async_copy(acc, dfeats_hbm.at[:, pl.ds(s, CHUNK)],
-                                    osem)
-        ocp.start()
-        ocp.wait()
+        acc2[slot] = acc2[slot] + jnp.transpose(gv[:, :CF], (1, 0))
+        out_cp(c, slot).start()
         return sst
 
     z1 = jnp.zeros((1, NPIX), jnp.float32)
     lax.fori_loop(0, nchunk,
                   chunk_body,
                   (jnp.ones((1, NPIX), jnp.float32), z1, z1, z1))
+
+    # drain the write pipeline before the next tile may RMW these regions
+    @pl.when(nchunk >= 1)
+    def _():
+        out_cp(nchunk - 1, (nchunk - 1) % 2).wait()
+
+    @pl.when(nchunk >= 2)
+    def _():
+        out_cp(nchunk - 2, (nchunk - 2) % 2).wait()
 
 
 # --------------------------------------------------------------------------
@@ -458,18 +506,22 @@ def _tile_block(ch):
 
 def _fwd_call(static, feats, tile_start, tile_stop, scal):
     cfg, tiles_x, tiles_y, cap_pad, interpret = static
+    B = cfg.buffer_len
     num_tiles = tiles_x * tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[_tile_block(3), _tile_block(3), _tile_block(1),
-                   _tile_block(1), _tile_block(MAXB), _tile_block(MAXB),
-                   _tile_block(MAXB)],
+                   _tile_block(1), _tile_block(B), _tile_block(B),
+                   _tile_block(B)],
         scratch_shapes=[pltpu.VMEM((2, CF, CHUNK), jnp.float32),
                         pltpu.VMEM((CHUNK, CF), jnp.float32),
                         pltpu.VMEM((KI, NPIX), jnp.float32),
                         pltpu.VMEM((1, NPIX), jnp.float32),
+                        pltpu.VMEM((B, NPIX), jnp.float32),
+                        pltpu.VMEM((B, NPIX), jnp.float32),
+                        pltpu.VMEM((B, NPIX), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     f32, i32 = jnp.float32, jnp.int32
@@ -478,9 +530,9 @@ def _fwd_call(static, feats, tile_start, tile_stop, scal):
         jax.ShapeDtypeStruct((num_tiles, 3, NPIX), f32),     # normal
         jax.ShapeDtypeStruct((num_tiles, 1, NPIX), f32),     # final T
         jax.ShapeDtypeStruct((num_tiles, 1, NPIX), i32),     # n_contrib
-        jax.ShapeDtypeStruct((num_tiles, MAXB, NPIX), f32),  # buf depth
-        jax.ShapeDtypeStruct((num_tiles, MAXB, NPIX), f32),  # buf weight
-        jax.ShapeDtypeStruct((num_tiles, MAXB, NPIX), i32),  # buf contrib
+        jax.ShapeDtypeStruct((num_tiles, B, NPIX), f32),     # buf depth
+        jax.ShapeDtypeStruct((num_tiles, B, NPIX), f32),     # buf weight
+        jax.ShapeDtypeStruct((num_tiles, B, NPIX), i32),     # buf contrib
     ]
     return tuple(pl.pallas_call(
         functools.partial(_fwd_kernel, cfg, tiles_x),
@@ -492,6 +544,7 @@ def _fwd_call(static, feats, tile_start, tile_stop, scal):
 
 def _bwd_call(static, feats, tile_start, tile_stop, scal, saved, cts):
     cfg, tiles_x, tiles_y, cap_pad, interpret = static
+    B = cfg.buffer_len
     num_tiles = tiles_x * tiles_y
     color_s, normal_s, t_s, nc_s, _bd_s, bw_s, bcN_s = saved
     dLc, dLn, dLt, dLbd, dLbw = cts
@@ -500,21 +553,21 @@ def _bwd_call(static, feats, tile_start, tile_stop, scal, saved, cts):
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   _tile_block(3), _tile_block(3), _tile_block(1),
-                  _tile_block(1), _tile_block(MAXB), _tile_block(MAXB),
+                  _tile_block(1), _tile_block(B), _tile_block(B),
                   _tile_block(3), _tile_block(3), _tile_block(1),
-                  _tile_block(MAXB), _tile_block(MAXB),
+                  _tile_block(B), _tile_block(B),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.VMEM((CF, CHUNK), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, CF, CHUNK), jnp.float32),
                         pltpu.VMEM((CHUNK, CF), jnp.float32),
                         pltpu.VMEM((CHUNK, CF), jnp.float32),
-                        pltpu.VMEM((CF, CHUNK), jnp.float32),
+                        pltpu.VMEM((2, CF, CHUNK), jnp.float32),
                         pltpu.VMEM((KI, NPIX), jnp.float32),
                         pltpu.VMEM((KI, NPIX), jnp.float32),
                         pltpu.VMEM((1, NPIX), jnp.float32),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     (dfeats,) = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg, tiles_x),
@@ -627,13 +680,12 @@ def blend_packed(feats_inst, bins, Wp: int, Hp: int,
         static, feats, bins.tile_start, bins.tile_stop, scal)
 
     th, tw = cfg.tile_h, cfg.tile_w
-    B = cfg.buffer_len       # slots >= buffer_len are never written
     return BlendOutputs(
         color=_tiles_to_image(color, tiles_y, tiles_x, th, tw),
         normal=_tiles_to_image(normal, tiles_y, tiles_x, th, tw),
         final_t=_tiles_to_image(T, tiles_y, tiles_x, th, tw),
         n_contrib=_tiles_to_image(nc, tiles_y, tiles_x, th, tw),
-        buf_depth=_tiles_to_image(bd, tiles_y, tiles_x, th, tw)[..., :B],
-        buf_weight=_tiles_to_image(bw, tiles_y, tiles_x, th, tw)[..., :B],
-        buf_contrib=_tiles_to_image(bcN, tiles_y, tiles_x, th, tw)[..., :B],
+        buf_depth=_tiles_to_image(bd, tiles_y, tiles_x, th, tw),
+        buf_weight=_tiles_to_image(bw, tiles_y, tiles_x, th, tw),
+        buf_contrib=_tiles_to_image(bcN, tiles_y, tiles_x, th, tw),
     )
