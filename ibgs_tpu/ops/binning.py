@@ -27,6 +27,7 @@ detect truncation).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 from jax import lax
@@ -36,6 +37,25 @@ from ibgs_tpu.ops.preprocess import Splats2D
 MAX_CAP = 1 << 22
 FIELD_BITS = 8
 FIELD_MASK = (1 << FIELD_BITS) - 1
+
+
+def tile_ranges_from_sorted(tile_sorted: jnp.ndarray, num_tiles: int,
+                            n_valid) -> tuple:
+    """[start, stop) index ranges per tile from a tile-id-sorted instance
+    list (ids >= num_tiles mark invalid/padding rows sorted to the end).
+
+    Boundary scatters + a reverse-cummin backfill — the TPU replacement of
+    the reference's identifyTileRanges kernel (rasterizer_impl.cu:233-255).
+    """
+    cap = tile_sorted.shape[0]
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tile_sorted[:-1]])
+    is_head = tile_sorted != prev
+    start = jnp.full((num_tiles + 1,), cap, jnp.int32).at[
+        jnp.where(is_head, tile_sorted, num_tiles + 1)].min(pos, mode="drop")
+    start = start.at[num_tiles].min(jnp.asarray(n_valid, jnp.int32))
+    start = lax.associative_scan(jnp.minimum, start, reverse=True)
+    return start[:num_tiles], start[1:]
 
 
 @struct.dataclass
@@ -48,6 +68,9 @@ class TileBins:
     tile_start: jnp.ndarray  # (num_tiles,) int32
     tile_stop: jnp.ndarray   # (num_tiles,) int32
     n_instances: jnp.ndarray  # () int32 total (pre-truncation) count
+    slot: jnp.ndarray        # (cap,) int32 pre-sort slot of each sorted row
+    seg_off: jnp.ndarray     # (P+1,) int32 slot range of depth-rank r =
+    #                          [seg_off[r], seg_off[r+1]) — pack_rows bwd
 
 
 def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
@@ -92,19 +115,12 @@ def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
     tile = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles)
 
     # 3. one stable sort by tile id (instances already depth-ordered)
-    tile_sorted, rank_sorted, valid_sorted = lax.sort(
-        (tile, rank, inst_valid.astype(jnp.int32)), num_keys=1)
+    tile_sorted, rank_sorted, valid_sorted, slot_sorted = lax.sort(
+        (tile, rank, inst_valid.astype(jnp.int32), inst), num_keys=1)
 
     # 4. tile ranges: boundary scatters + reverse-cummin backfill
-    pos = jnp.arange(cap, dtype=jnp.int32)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tile_sorted[:-1]])
-    is_head = tile_sorted != prev
-    start = jnp.full((num_tiles + 1,), cap, jnp.int32).at[
-        jnp.where(is_head, tile_sorted, num_tiles + 1)].min(pos, mode="drop")
-    start = start.at[num_tiles].min(jnp.minimum(total, cap).astype(jnp.int32))
-    start = lax.associative_scan(jnp.minimum, start, reverse=True)
-    stop = start[1:]
-    start = start[:num_tiles]
+    start, stop = tile_ranges_from_sorted(tile_sorted, num_tiles,
+                                          jnp.minimum(total, cap))
 
     gauss_id = order[rank_sorted] if with_gauss_id else rank_sorted
 
@@ -117,4 +133,48 @@ def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
         tile_start=start,
         tile_stop=stop,
         n_instances=total,
+        slot=slot_sorted,
+        seg_off=jnp.concatenate([offsets, total[None]]).astype(jnp.int32),
     )
+
+
+@jax.custom_vjp
+def pack_rows(feats_g: jnp.ndarray, bins: TileBins) -> jnp.ndarray:
+    """Instance assembly: (P, C) per-Gaussian rows → (cap, C) per-instance
+    rows in tile-sorted order (invalid rows zeroed).
+
+    Forward = two row gathers (`feats_g[order][rank]`); this is the ONLY
+    cap-sized random access on the hot path (SURVEY §7.1).  The hand-written
+    backward replaces XLA's transpose — a cap-sized C-wide scatter-ADD
+    (~160 ms at cap=2M on v5e) — with gathers: instances of one Gaussian
+    occupy the CONTIGUOUS pre-sort slot range [seg_off[r], seg_off[r+1]), so
+    per-Gaussian grads are segment sums of an inverse-permuted cotangent:
+    one permutation scatter-set (int32), one cap-row gather, one cumsum and
+    two P-row boundary gathers (~25 ms)."""
+    out = feats_g[bins.order][bins.rank]
+    return jnp.where(bins.inst_valid[:, None], out, 0.0)
+
+
+def _pack_rows_fwd(feats_g, bins):
+    return pack_rows(feats_g, bins), (bins, feats_g.shape[0])
+
+
+def _pack_rows_bwd(res, g):
+    bins, P = res
+    cap = g.shape[0]
+    g = jnp.where(bins.inst_valid[:, None], g, 0.0)
+    # sorted-position cotangents → pre-sort slot order (slot is a permutation)
+    inv = jnp.zeros((cap,), jnp.int32).at[bins.slot].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop", unique_indices=True)
+    g_pre = g[inv]
+    cums = jnp.cumsum(g_pre, axis=0)
+    cums = jnp.concatenate([jnp.zeros((1, g.shape[1]), g.dtype), cums], axis=0)
+    lo = jnp.clip(bins.seg_off[:-1], 0, cap)
+    hi = jnp.clip(bins.seg_off[1:], 0, cap)
+    g_ranked = cums[hi] - cums[lo]                       # (P, C) rank order
+    g_feats = jnp.zeros((P, g.shape[1]), g.dtype).at[bins.order].set(
+        g_ranked, mode="drop", unique_indices=True)
+    return (g_feats, None)
+
+
+pack_rows.defvjp(_pack_rows_fwd, _pack_rows_bwd)

@@ -116,7 +116,12 @@ def rasterize(
         ty0 = jnp.asarray(row0, jnp.int32) // cfg.tile_h
         rmin_y = jnp.clip(sp.rect_min[:, 1] - ty0, 0, tiles_y)
         rmax_y = jnp.clip(sp.rect_max[:, 1] - ty0, 0, tiles_y)
-        n_tiles = (sp.rect_max[:, 0] - sp.rect_min[:, 0]) * (rmax_y - rmin_y)
+        # gate by the ORIGINAL n_tiles: preprocess culls (dead / behind /
+        # transparent) by zeroing n_tiles while leaving the rect garbage —
+        # recomputing from rects alone would resurrect those Gaussians
+        n_tiles = jnp.where(
+            sp.n_tiles > 0,
+            (sp.rect_max[:, 0] - sp.rect_min[:, 0]) * (rmax_y - rmin_y), 0)
         sp = sp.replace(
             rect_min=sp.rect_min.at[:, 1].set(rmin_y),
             rect_max=sp.rect_max.at[:, 1].set(rmax_y),
@@ -146,12 +151,11 @@ def rasterize(
          jnp.zeros((P,), jnp.float32)],
         axis=1,
     )
-    feats_sorted = feats_g[bins.order]          # (P, 16) depth-ordered
-    feats_inst = feats_sorted[bins.rank]        # (cap, 16) one row gather
-    # Zero padding instances: their clipped gather index can land on a dead
-    # (zero-padded) Gaussian with non-finite derived attributes, and even
-    # masked non-finites poison reverse-mode cotangent chains (0 * nan).
-    feats_inst = jnp.where(bins.inst_valid[:, None], feats_inst, 0.0)
+    # pack_rows: one per-instance row gather fwd + gather/cumsum segment-sum
+    # bwd (replaces XLA's cap-sized scatter-add transpose); zeroes invalid
+    # rows (clipped gather indices can land on dead Gaussians whose
+    # non-finite attributes poison reverse-mode cotangents even when masked)
+    feats_inst = binning.pack_rows(feats_g, bins)
 
     bcfg = cfg.blend_cfg(render_geo, depth_only)
     if cfg.backend == "oracle":
