@@ -1,0 +1,292 @@
+"""Gaussian-sharded compute: the distributed sort / instance exchange.
+
+This is the SURVEY §2.5 "distributed radix sort" row — the TPU-native
+replacement of the reference's single-GPU global cub sort
+(rasterizer_impl.cu:187-255), and the piece the FSDP-style step
+(sharding.py) lacks: there, every device all-gathers the full parameter
+set and preprocesses/bins all P Gaussians.  Here *compute* scales as P/n:
+
+  mesh ("dp", "gs"): dp replicates over cameras; the gs axis shards BOTH
+  the Gaussian arrays (each device owns P/n primitives) and the image
+  (each device owns one horizontal band of rows).
+
+Per-device pipeline inside shard_map:
+  1. preprocess OWN P/n Gaussians for this dp-row's camera (O(P/n));
+  2. local binning over the FULL tile grid (scan-propagated expansion +
+     one local sort — O(cap_local log));
+  3. instances are routed to the device owning their tile's row band with
+     ONE `lax.all_to_all` over the gs axis (the collective form of the
+     reference's global sort's implicit shuffle); per-destination slots
+     are capacity-padded (static shapes) with an overflow count returned
+     for diagnostics;
+  4. each device merge-sorts its received instances by (local tile,
+     depth) — one two-key sort of (int, f32, index) triples + one row
+     gather — and blends its band with the Pallas kernel;
+  5. gradients flow back through the gather/all_to_all/scatter chain by
+     autodiff (all_to_all is its own transpose), landing on the OWNING
+     shard's parameters — no cross-gs reduction needed; only a psum over
+     dp remains.
+
+Multi-host: build the mesh over `jax.devices()` after
+`parallel.distributed.initialize()`; the gs all_to_all rides ICI within a
+slice and DCN across slices (XLA inserts the hierarchy).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ibgs_tpu.core.camera import Camera
+from ibgs_tpu.models.gaussians import GaussianModel, LRConfig, lr_tree
+from ibgs_tpu.ops import binning, preprocess
+from ibgs_tpu.ops.blend_common import BlendOutputs
+from ibgs_tpu.ops.epilogue import ibr_epilogue
+from ibgs_tpu.ops.rasterize import RasterConfig
+from ibgs_tpu.parallel.sharding import _band_camera, _cam_stack  # noqa: F401
+from ibgs_tpu.train import losses
+
+
+@struct.dataclass
+class _Bins:
+    tile_start: jnp.ndarray
+    tile_stop: jnp.ndarray
+
+
+def _pack_feats(sp, screen_dummy_abs=None):
+    """(P, 16) packed per-Gaussian feature rows; col 15 carries view depth
+    (the cross-shard merge key — non-differentiable, blend ignores it)."""
+    P_ = sp.mean2d.shape[0]
+    z = jnp.zeros((P_,), jnp.float32)
+    ax = screen_dummy_abs[:, 0] if screen_dummy_abs is not None else z
+    ay = screen_dummy_abs[:, 1] if screen_dummy_abs is not None else z
+    return jnp.stack(
+        [sp.mean2d[:, 0], sp.mean2d[:, 1],
+         sp.conic[:, 0], sp.conic[:, 1], sp.conic[:, 2],
+         sp.opacity,
+         sp.rgb[:, 0], sp.rgb[:, 1], sp.rgb[:, 2],
+         sp.plane_normal[:, 0], sp.plane_normal[:, 1], sp.plane_normal[:, 2],
+         sp.plane_dist,
+         ax, ay,
+         lax.stop_gradient(sp.depth)],
+        axis=1)
+
+
+def exchange_and_blend(params_view, cam: Camera, rcfg: RasterConfig,
+                       n_bands: int, band_index, cap_local: int,
+                       exchange_cap: int, axis_name: str = "gs",
+                       bg=None, src=None, render_geo=True):
+    """The sharded rasterizer core (steps 1-4 above), called inside
+    shard_map.  `params_view` is a dict of SHARD-LOCAL per-Gaussian arrays:
+    xyz, scale, quat, opacity, sh_coeffs, active_sh_degree, normal_world,
+    plane_offset, alive.
+
+    Returns (render_band (band,W,3), blend BlendOutputs, ibr|None,
+    n_overflow () int32 — instances dropped by the per-pair exchange cap).
+    """
+    tile_h, tile_w = rcfg.tile_h, rcfg.tile_w
+    Wp = -(-cam.width // tile_w) * tile_w
+    tiles_x = Wp // tile_w
+    assert cam.height % (n_bands * tile_h) == 0, \
+        "height must split into n_bands tile-aligned bands"
+    band = cam.height // n_bands
+    band_ty = band // tile_h
+    tiles_per_band = tiles_x * band_ty
+    num_tiles_total = tiles_per_band * n_bands
+    row0 = band_index * band
+
+    # 1-2. local preprocess + binning over the FULL tile grid
+    sp = preprocess.preprocess(
+        params_view["xyz"], params_view["scale"], params_view["quat"],
+        params_view["opacity"], params_view["sh_coeffs"],
+        params_view["active_sh_degree"], params_view["normal_world"],
+        params_view["plane_offset"], cam, tile_h, tile_w,
+        alive=params_view.get("alive"))
+    bins = binning.bin_splats(sp, tiles_x, band_ty * n_bands, cap_local,
+                              with_gauss_id=False)
+    feats_g = _pack_feats(sp, params_view.get("screen_dummy_abs"))
+    if params_view.get("screen_dummy") is not None:
+        feats_g = feats_g.at[:, 0:2].add(params_view["screen_dummy"])
+    feats_inst = binning.pack_rows(feats_g, bins)
+
+    # 3. route instances to their band owner (dest monotone in tile id)
+    tile = bins.tile_id                                  # sorted ascending
+    dest = tile // tiles_per_band                        # invalid → n_bands
+    seg_start = jnp.searchsorted(
+        tile, jnp.arange(n_bands + 1, dtype=jnp.int32) * tiles_per_band
+    ).astype(jnp.int32)
+    local_pos = jnp.arange(cap_local, dtype=jnp.int32) - seg_start[
+        jnp.minimum(dest, n_bands)]
+    keep = bins.inst_valid & (local_pos < exchange_cap) & (dest < n_bands)
+    n_overflow = (bins.inst_valid & ~keep).sum()
+    send_idx = jnp.where(keep, dest * exchange_cap + local_pos,
+                         n_bands * exchange_cap)
+    sendf = jnp.zeros((n_bands * exchange_cap, 16), jnp.float32).at[
+        send_idx].set(feats_inst, mode="drop")
+    sendt = jnp.full((n_bands * exchange_cap,), tiles_per_band,
+                     jnp.int32).at[send_idx].set(
+        tile - dest * tiles_per_band, mode="drop")
+    recvf = lax.all_to_all(sendf.reshape(n_bands, exchange_cap, 16),
+                           axis_name, 0, 0).reshape(-1, 16)
+    recvt = lax.all_to_all(sendt.reshape(n_bands, exchange_cap),
+                           axis_name, 0, 0).reshape(-1)
+
+    # 4. merge by (local tile, depth) and blend the band
+    cap_band = recvt.shape[0]
+    depth_key = lax.stop_gradient(recvf[:, 15])
+    depth_key = jnp.where(recvt < tiles_per_band, depth_key, jnp.inf)
+    sortt, _, perm = lax.sort(
+        (recvt, depth_key, jnp.arange(cap_band, dtype=jnp.int32)),
+        num_keys=2)
+    feats_band = recvf[perm]
+    n_valid = (sortt < tiles_per_band).sum()
+    start, stop = binning.tile_ranges_from_sorted(
+        sortt, tiles_per_band, n_valid)
+
+    from ibgs_tpu.ops import blend_pallas, blend_oracle
+    from ibgs_tpu.ops.blend_common import Instances
+    Hp_band = band_ty * tile_h
+    bcfg = rcfg.blend_cfg(render_geo, False)
+    if rcfg.backend == "oracle":
+        f = feats_band
+        inst = Instances(mean2d=f[:, 0:2], conic=f[:, 2:5], opacity=f[:, 5],
+                         rgb=f[:, 6:9], normal=f[:, 9:12], dist=f[:, 12])
+        blend = blend_oracle.blend_oracle(
+            inst, _Bins(start, stop), Wp, Hp_band,
+            cam.fx, cam.fy, cam.cx, cam.cy, bcfg, row0=row0)
+    else:
+        blend = blend_pallas.blend_packed(
+            feats_band, _Bins(start, stop), Wp, Hp_band,
+            cam.fx, cam.fy, cam.cx, cam.cy, bcfg, row0=row0)
+
+    H, W = band, cam.width
+    blend = BlendOutputs(
+        color=blend.color[:H, :W], normal=blend.normal[:H, :W],
+        final_t=blend.final_t[:H, :W], n_contrib=blend.n_contrib[:H, :W],
+        buf_depth=blend.buf_depth[:H, :W], buf_weight=blend.buf_weight[:H, :W],
+        buf_contrib=blend.buf_contrib[:H, :W])
+    bg = jnp.zeros(3) if bg is None else bg
+    render = blend.color + blend.final_t[..., None] * bg[None, None, :]
+    ibr = None
+    if render_geo and src is not None:
+        ibr = ibr_epilogue(blend, cam, src, rcfg.depth_error_threshold,
+                           row0=row0)
+    return render, blend, ibr, n_overflow
+
+
+def _local_view(model_like, p_loc, alive_loc, cam_pos, learnt=True):
+    """Shard-local activation dict from shard-local raw params."""
+    m = model_like.replace(params=p_loc, alive=alive_loc)
+    normal_w, offset = m.oriented_normal(cam_pos, learnt=learnt)
+    return {
+        "xyz": p_loc.xyz, "scale": m.scale, "quat": m.quat_unit,
+        "opacity": m.opacity, "sh_coeffs": m.sh_coeffs,
+        "active_sh_degree": model_like.active_sh_degree,
+        "normal_world": normal_w, "plane_offset": offset,
+        "alive": alive_loc,
+    }
+
+
+def gsp_train_step(rcfg: RasterConfig, mesh: Mesh, width: int, height: int,
+                   cap_local: int, exchange_cap: int,
+                   lrcfg: LRConfig = LRConfig()):
+    """Jitted training step with Gaussian-axis COMPUTE sharding.
+
+    Layout: params/mu/nu/alive sharded P("gs") (replicated over dp);
+    cameras and source packs over dp; ground truth (dp, H, W, 3) sharded
+    P("dp", "gs") over rows.  Per-device FLOPs scale as P/n_gs for
+    preprocess/binning and pixels/n_gs for the blend.
+    """
+    dp, n = mesh.shape["dp"], mesh.shape["gs"]
+    band = height // n
+    assert height % (n * rcfg.tile_h) == 0
+
+    def shard_fn(p_loc, mu_loc, nu_loc, alive_loc, rest: GaussianModel,
+                 cam_arrays, gts, srcs, iteration):
+        cam = _band_camera(cam_arrays, width, height)
+        band_ix = lax.axis_index("gs")
+        src = jax.tree.map(lambda x: x[0], srcs)
+
+        def loss_fn(p_loc):
+            view = _local_view(rest, p_loc, alive_loc, cam.cam_pos)
+            render, blend, ibr, n_ovf = exchange_and_blend(
+                view, cam, rcfg, n, band_ix, cap_local, exchange_cap,
+                axis_name="gs", bg=jnp.zeros(3), src=src, render_geo=True)
+            img_l = losses.dssim_l1(render, gts[0])
+            med_l = 1e-4 * (ibr.median_depth ** 2).mean()
+            return img_l + med_l, n_ovf
+
+        (loss, n_ovf), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p_loc)
+        loss = lax.psum(loss, ("dp", "gs")) / (dp * n)
+        n_ovf = lax.psum(n_ovf, ("dp", "gs"))
+        # gs shards own disjoint Gaussians — only the dp replicas reduce
+        grads = jax.tree.map(lambda g: lax.psum(g, "dp") / dp, grads)
+
+        lrs = lr_tree(lrcfg, iteration.astype(jnp.float32), 1.0)
+        step = rest.step + 1
+        bc1 = 1.0 - 0.9 ** step.astype(jnp.float32)
+        bc2 = 1.0 - 0.999 ** step.astype(jnp.float32)
+
+        def upd(p, m_, v_, g, lr):
+            g = jnp.where(
+                alive_loc.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0)
+            m_ = 0.9 * m_ + 0.1 * g
+            v_ = 0.999 * v_ + 0.001 * g * g
+            return (p - lr * (m_ / bc1) / (jnp.sqrt(v_ / bc2) + 1e-15),
+                    m_, v_)
+
+        out = jax.tree.map(upd, p_loc, mu_loc, nu_loc, grads, lrs)
+        leaf = lambda t: isinstance(t, tuple)
+        new_p = jax.tree.map(lambda t: t[0], out, is_leaf=leaf)
+        new_mu = jax.tree.map(lambda t: t[1], out, is_leaf=leaf)
+        new_nu = jax.tree.map(lambda t: t[2], out, is_leaf=leaf)
+        return new_p, new_mu, new_nu, loss, n_ovf
+
+    smapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("gs"), P("gs"), P("gs"), P("gs"),
+                  P(), P("dp"), P("dp", "gs"), P("dp"), P()),
+        out_specs=(P("gs"), P("gs"), P("gs"), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(model: GaussianModel, cam_arrays, gts, srcs, iteration):
+        new_p, new_mu, new_nu, loss, n_ovf = smapped(
+            model.params, model.mu, model.nu, model.alive, model,
+            cam_arrays, gts, srcs, iteration)
+        return (model.replace(params=new_p, mu=new_mu, nu=new_nu,
+                              step=model.step + 1), loss, n_ovf)
+
+    return step
+
+
+def gsp_render(model: GaussianModel, cam: Camera, rcfg: RasterConfig,
+               mesh: Mesh, cap_local: int, exchange_cap: int, bg=None,
+               learnt_normal=True):
+    """Gaussian-sharded render over a 1-d gs mesh (exactness harness;
+    returns the stitched (H, W, 3) image and total overflow count)."""
+    n = mesh.shape["gs"]
+    cam_arrays = _cam_stack([cam])
+
+    def shard_fn(p_loc, alive_loc, rest, cam_arrays):
+        c = _band_camera(cam_arrays, cam.width, cam.height)
+        view = _local_view(rest, p_loc, alive_loc, c.cam_pos,
+                           learnt=learnt_normal)
+        render, _, _, n_ovf = exchange_and_blend(
+            view, c, rcfg, n, lax.axis_index("gs"), cap_local, exchange_cap,
+            bg=bg, src=None, render_geo=False)
+        return render[None], lax.psum(n_ovf, "gs")
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("gs"), P("gs"), P(), P()),
+        out_specs=(P(None, "gs"), P()),
+        check_vma=False,
+    )
+    img, ovf = fn(model.params, model.alive, model, cam_arrays)
+    return img[0], ovf

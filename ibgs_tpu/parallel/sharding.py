@@ -37,11 +37,12 @@ from ibgs_tpu.ops.rasterize import RasterConfig, rasterize
 from ibgs_tpu.train import losses
 
 
-def make_mesh(dp: int, tp: int, devices=None) -> Mesh:
+def make_mesh(dp: int, tp: int, devices=None,
+              axis_names=("dp", "tp")) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     assert len(devices) >= dp * tp, (len(devices), dp, tp)
     arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+    return Mesh(arr, axis_names=axis_names)
 
 
 def _band_camera(cam_arrays, width: int, height: int) -> Camera:
@@ -65,30 +66,31 @@ def sharded_render(model: GaussianModel, cams, cfg: RasterConfig,
     assert height % (tp * cfg.tile_h) == 0, "height must split into tp bands"
     band = height // tp
     cam_arrays = _cam_stack(cams)
-    normal_w, offset = model.oriented_normal(
-        jnp.stack([c.cam_pos for c in cams]).mean(0), learnt=learnt_normal)
 
-    def shard_fn(cam_arrays, xyz, scale, quat, opacity, sh, nrm, off, deg,
-                 alive, bg):
+    def shard_fn(cam_arrays, model, bg):
         cam = _band_camera(cam_arrays, width, height)
         row0 = lax.axis_index("tp") * band
+        # orient normals per THIS device's camera (each dp row renders a
+        # different viewpoint)
+        normal_w, offset = model.oriented_normal(cam.cam_pos,
+                                                 learnt=learnt_normal)
         res = rasterize(
-            xyz=xyz, scale=scale, quat=quat, opacity=opacity, sh_coeffs=sh,
-            active_sh_degree=deg, normal_world=nrm, plane_offset=off,
-            cam=cam, bg=bg, cfg=cfg, alive=alive, render_geo=False,
+            xyz=model.params.xyz, scale=model.scale, quat=model.quat_unit,
+            opacity=model.opacity, sh_coeffs=model.sh_coeffs,
+            active_sh_degree=model.active_sh_degree, normal_world=normal_w,
+            plane_offset=offset,
+            cam=cam, bg=bg, cfg=cfg, alive=model.alive, render_geo=False,
             viewport_row0=row0, viewport_rows=band,
         )
         return res.render[None]     # (1, band, W, 3)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P("dp"),) + (P(),) * 9 + (P(),),
+        in_specs=(P("dp"), P(), P()),
         out_specs=P("dp", "tp"),
         check_vma=False,
     )
-    return fn(cam_arrays, model.params.xyz, model.scale, model.quat_unit,
-              model.opacity, model.sh_coeffs, normal_w, offset,
-              model.active_sh_degree, model.alive, bg)
+    return fn(cam_arrays, model, bg)
 
 
 def sharded_train_step(opt_like, rcfg: RasterConfig, mesh: Mesh,
