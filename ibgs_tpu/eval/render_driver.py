@@ -75,14 +75,17 @@ class EvalRenderer:
             learnt_normal=self.opt.learnt_normal, render_geo=True,
             return_depth_normal=True)
         out = dict(render=res.render, depth=res.median_depth,
-                   normal=res.normal, dnormal=dnormal)
+                   normal=res.normal, dnormal=dnormal,
+                   ray=res.ibr.camera_ray if res.ibr is not None else None)
         if self.net is not None and net_params is not None:
             fusion = aggregation.fuse_color(
                 self.net, net_params, res.render, res.ibr.warped_image,
                 res.ibr.cam_feat, res.ibr.camera_ray, res.ibr.min_depth_diff,
                 res.ibr.use_first_src_mask, jnp.float32(1.0),
                 self.opt.nb_visible_src_frames,
-                self.opt.enable_exposure_correction)
+                self.opt.enable_exposure_correction,
+                self.opt.residual_resolution_scale,
+                self.opt.enable_mix_precision)
             out["aggregate"] = jnp.where(fusion["any_valid"],
                                          fusion["image_pred"], res.render)
             out["residual"] = fusion["residual"]
@@ -97,13 +100,15 @@ class EvalRenderer:
         S = self.rcfg.max_src
         idx = np.zeros((S,), np.int32)
         idx[: len(nbrs)] = nbrs
-        dstack = jnp.zeros((len(self.scene.train_cameras), self.H, self.W))
-        for i, d in zip(nbrs, depths):
-            dstack = dstack.at[i].set(d)
+        # compact S-sized stacks (NOT a zeroed (N_train, H, W) scatter —
+        # that's O(N_train*H*W) HBM traffic per rendered view)
+        dstack = jnp.stack(
+            list(depths) + [jnp.zeros((self.H, self.W))] * (S - len(depths)))
         src = source_views_from_stacks(
-            self.stacks["images"], dstack, self.stacks["w2v"],
-            self.stacks["centers"], jnp.asarray(idx),
-            jnp.int32(len(nbrs)), cam)
+            self.stacks["images"][jnp.asarray(idx)], dstack,
+            self.stacks["w2v"][jnp.asarray(idx)],
+            self.stacks["centers"][jnp.asarray(idx)],
+            jnp.arange(S, dtype=jnp.int32), jnp.int32(len(nbrs)), cam)
         return self._render_impl_cached(model, cam, src)
 
     def _render_impl_cached(self, model, cam, src):
@@ -144,8 +149,56 @@ def render_split(ev: EvalRenderer, cameras, gts, nearest_ids, out_dir,
     return fps
 
 
+def filter_depth_by_view_angle(depth, dnormal, ray, max_angle_deg=80.0):
+    """Zero depths whose depth-derived normal is near-perpendicular to the
+    viewing ray (reference render.py:251-259, use_depth_filter): grazing
+    surfaces produce unreliable depths that corrupt the TSDF."""
+    d = np.asarray(depth)
+    n = np.asarray(dnormal)
+    n = n / (np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    r = np.asarray(ray)
+    r = r / (np.linalg.norm(r, axis=-1, keepdims=True) + 1e-12)
+    dot = np.abs((n * r).sum(-1))
+    angle = np.arccos(np.clip(dot, -1.0, 1.0))
+    return np.where(angle > np.deg2rad(max_angle_deg), 0.0, d)
+
+
+def dump_test_time_data(ev: EvalRenderer, model_path, iteration,
+                        ext="jpg"):
+    """Store the test-time source data exactly as the reference does
+    (render.py:157-186): train images re-encoded to `ext` and RELOADED into
+    the source stacks (so eval sees compression artefacts, mimicking the
+    real deployment), plus per-train-view intrinsics (fx,fy,cx,cy) and
+    extrinsics (axis-angle + translation) npy files.  Returns the dump dir
+    (its on-disk size is part of the reference's memory metric)."""
+    import cv2
+    from scipy.spatial.transform import Rotation
+
+    misc_path = os.path.join(model_path, "test_time_data",
+                             f"ours_{iteration}")
+    os.makedirs(os.path.join(misc_path, "images"), exist_ok=True)
+    scene = ev.scene
+    imgs, intr, extr = [], [], []
+    for k, cam in enumerate(scene.train_cameras):
+        p = os.path.join(misc_path, "images", f"{k:05d}.{ext}")
+        _save_png(p, scene.images[k])
+        back = cv2.imread(p)[..., ::-1].astype(np.float32) / 255.0
+        imgs.append(back)
+        intr.append([float(cam.fx), float(cam.fy),
+                     float(cam.cx), float(cam.cy)])
+        w2c = np.asarray(cam.view)[:3]
+        rotvec = Rotation.from_matrix(w2c[:3, :3]).as_rotvec()
+        extr.append(np.concatenate([rotvec, w2c[:3, 3]]).astype(np.float32))
+    np.save(os.path.join(misc_path, "test_intrinsic.npy"),
+            np.stack(intr).astype(np.float32))
+    np.save(os.path.join(misc_path, "test_extrinsic.npy"), np.stack(extr))
+    # reload: the stored (lossy) images become the warping sources
+    ev.stacks["images"] = jnp.asarray(np.stack(imgs))
+    return misc_path
+
+
 def extract_tsdf_mesh(ev: EvalRenderer, out_path, voxel_size=0.01,
-                      depth_trunc=None):
+                      depth_trunc=None, use_depth_filter=False):
     """Integrate every train view's median depth into a TSDF and extract a
     mesh (reference render.py:261-286)."""
     from ibgs_tpu.eval.tsdf import (TSDFVolume, post_process_mesh,
@@ -158,10 +211,14 @@ def extract_tsdf_mesh(ev: EvalRenderer, out_path, voxel_size=0.01,
                                             float(np.ptp(hi - lo)) / 512))
     for k, cam in enumerate(scene.train_cameras):
         out = ev.render_one(cam, scene.nearest_ids[k])
+        depth = out["depth"]
+        if use_depth_filter and out.get("dnormal") is not None:
+            depth = filter_depth_by_view_angle(depth, out["dnormal"],
+                                               out["ray"])
         K = np.array([[float(cam.fx), 0, float(cam.cx)],
                       [0, float(cam.fy), float(cam.cy)], [0, 0, 1]],
                      np.float32)
-        vol.integrate(out["depth"], ev.stacks["images"][k], K,
+        vol.integrate(depth, ev.stacks["images"][k], K,
                       np.asarray(cam.view))
     verts, faces = vol.extract_mesh()
     verts, faces = post_process_mesh(verts, faces)

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ibgs_tpu.ops.epilogue import bilinear_sample
+
 
 class ConvDecoderAE(nn.Module):
     """Two-level hourglass with input skip, NHWC."""
@@ -87,6 +89,21 @@ def exposure_affine(render, first_warped, valid_mask):
     return out, A.T
 
 
+def resize_align_corners(x: jnp.ndarray, H2: int, W2: int) -> jnp.ndarray:
+    """Bilinear resize of (H, W, C) with the corner-to-corner convention of
+    torch `F.interpolate(..., mode="bilinear", align_corners=True)` (the
+    reference's residual_resolution_scale resampling,
+    color_aggregation_network.py:201-239).  jax.image.resize uses the
+    half-pixel convention, so this samples explicitly."""
+    H, W = x.shape[0], x.shape[1]
+    u = (jnp.linspace(0.0, W - 1.0, W2) if W2 > 1
+         else jnp.zeros((1,), jnp.float32))
+    v = (jnp.linspace(0.0, H - 1.0, H2) if H2 > 1
+         else jnp.zeros((1,), jnp.float32))
+    gu, gv = jnp.meshgrid(u, v, indexing="xy")
+    return bilinear_sample(x, gu, gv)
+
+
 def fuse_color(
     net: ColorFusionResidualNet,
     net_params,
@@ -99,6 +116,8 @@ def fuse_color(
     burned_in_gauss,              # traced float in [0.5, 1]
     nb_visible: int,
     enable_exposure_correction: bool = False,
+    residual_resolution_scale: float = 1.0,
+    enable_mix_precision: bool = False,
 ):
     """Differentiable fusion step (reference fuse_color :156-241).
 
@@ -131,7 +150,41 @@ def fuse_color(
     view_feats = jnp.concatenate([residual_in, feat], axis=-1)   # (S',H,W,7)
     view_feats = jnp.moveaxis(view_feats, 0, 2)                  # (H,W,S',7)
 
-    residual = net.apply(net_params, view_feats, ray, render_g)
+    if enable_mix_precision:
+        # the autocast region of the reference (render.py:213-222 /
+        # train.py's `with autocast()`): the aggregation net runs in
+        # half precision — bf16 on TPU (MXU-native) — params and inputs
+        # down-cast, residual up-cast back to f32
+        bf = jnp.bfloat16
+        params_lo = jax.tree.map(
+            lambda a: a.astype(bf)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+            net_params)
+
+        def apply_net(vf, r, rg):
+            return net.apply(params_lo, vf.astype(bf), r.astype(bf),
+                             rg.astype(bf)).astype(render.dtype)
+    else:
+        def apply_net(vf, r, rg):
+            return net.apply(net_params, vf, r, rg)
+
+    H, W = render.shape[0], render.shape[1]
+    if residual_resolution_scale != 1.0:
+        # run the net at reduced resolution, upscale its residual
+        # (color_aggregation_network.py:200-239)
+        H2 = int(H * residual_resolution_scale)
+        W2 = int(W * residual_resolution_scale)
+        Sv = view_feats.shape[2]
+        vf = resize_align_corners(
+            view_feats.reshape(H, W, Sv * 7), H2, W2).reshape(H2, W2, Sv, 7)
+        render_n = resize_align_corners(render_g, H2, W2)
+        ray_n = resize_align_corners(ray, H2, W2)
+        ray_n = ray_n / (jnp.linalg.norm(ray_n, axis=-1, keepdims=True)
+                         + 1e-10)
+        residual = apply_net(vf, ray_n, render_n)
+        residual = resize_align_corners(residual, H, W)
+    else:
+        residual = apply_net(view_feats, ray, render_g)
     image_pred = burned_in_gauss * render_g + residual
     any_valid = (warped_image.sum(axis=(1, 2, 3)) != 0).sum() > 0
     return {

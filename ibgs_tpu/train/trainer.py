@@ -153,6 +153,8 @@ def make_train_step(opt: OptimizationParams, rcfg: RasterConfig,
                     res.ibr.use_first_src_mask,
                     burned_in, opt.nb_visible_src_frames,
                     opt.enable_exposure_correction,
+                    opt.residual_resolution_scale,
+                    opt.enable_mix_precision,
                 )
                 pred = fusion["image_pred"]
                 agg_ssim = 1.0 - losses.ssim(pred, gt)

@@ -60,3 +60,88 @@ def test_psnr():
     a = jnp.zeros((8, 8, 3))
     b = jnp.full((8, 8, 3), 0.1)
     assert abs(float(losses.psnr(a, b)) - 20.0) < 1e-3
+
+
+def test_resize_align_corners_matches_torch():
+    """resize_align_corners must reproduce torch F.interpolate(mode=
+    'bilinear', align_corners=True) — the reference's
+    residual_resolution_scale resampling (color_aggregation_network.py:201)."""
+    import torch
+    import torch.nn.functional as F
+    from ibgs_tpu.models.aggregation import resize_align_corners
+
+    rng = np.random.default_rng(3)
+    x = rng.random((20, 28, 5)).astype(np.float32)
+    for H2, W2 in [(10, 14), (40, 56), (7, 9)]:
+        ours = np.asarray(resize_align_corners(jnp.asarray(x), H2, W2))
+        ref = F.interpolate(
+            torch.from_numpy(x).permute(2, 0, 1)[None],
+            size=(H2, W2), mode="bilinear", align_corners=True,
+        )[0].permute(1, 2, 0).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_fuse_color_residual_resolution_scale():
+    """fuse_color at residual_resolution_scale=0.5 runs the net at half
+    resolution and upscales the residual back (full-res output, finite,
+    differentiable)."""
+    import jax
+    from ibgs_tpu.models import aggregation
+
+    rng = np.random.default_rng(4)
+    H, W, S = 16, 24, 3
+    net = aggregation.ColorFusionResidualNet()
+    render = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    warped = jnp.asarray(rng.random((S, H, W, 3)), jnp.float32)
+    feat = jnp.asarray(rng.random((S, H, W, 4)), jnp.float32)
+    ray = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.moveaxis(jnp.zeros((2, H // 2, W // 2, 7)), 0, 2),
+                      ray[: H // 2, : W // 2], render[: H // 2, : W // 2])
+
+    def run(r):
+        out = aggregation.fuse_color(
+            net, params, r, warped, feat, ray,
+            jnp.zeros((H, W)), jnp.zeros((H, W), jnp.int32),
+            jnp.float32(1.0), 2, residual_resolution_scale=0.5)
+        return out["image_pred"]
+
+    pred = run(render)
+    assert pred.shape == (H, W, 3)
+    assert np.isfinite(np.asarray(pred)).all()
+    g = jax.grad(lambda r: run(r).sum())(render)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fuse_color_mix_precision():
+    """enable_mix_precision runs the aggregation net in bf16 (the autocast
+    region of reference render.py:213-222) — output stays f32 and close to
+    the full-precision result within bf16 tolerance."""
+    import jax
+    from ibgs_tpu.models import aggregation
+
+    rng = np.random.default_rng(7)
+    H, W, S = 16, 24, 2
+    net = aggregation.ColorFusionResidualNet()
+    render = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    warped = jnp.asarray(rng.random((S, H, W, 3)), jnp.float32)
+    feat = jnp.asarray(rng.random((S, H, W, 4)), jnp.float32)
+    ray = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((H, W, S, 7)), ray, render)
+
+    def run(mp):
+        return aggregation.fuse_color(
+            net, params, render, warped, feat, ray,
+            jnp.zeros((H, W)), jnp.zeros((H, W), jnp.int32),
+            jnp.float32(1.0), S, enable_mix_precision=mp)["image_pred"]
+
+    hi, lo = run(False), run(True)
+    assert lo.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(hi),
+                               atol=0.05, rtol=0.05)
+    g = jax.grad(lambda r: aggregation.fuse_color(
+        net, params, r, warped, feat, ray, jnp.zeros((H, W)),
+        jnp.zeros((H, W), jnp.int32), jnp.float32(1.0), S,
+        enable_mix_precision=True)["image_pred"].sum())(render)
+    assert np.isfinite(np.asarray(g)).all()
