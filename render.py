@@ -24,6 +24,9 @@ def main(argv=None):
     parser.add_argument("--voxel_size", type=float, default=0.01)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--measure_fps", action="store_true", default=True)
+    parser.add_argument("--use_depth_filter", action="store_true",
+                        help="zero grazing-angle depths before TSDF fusion")
+    parser.add_argument("--src_image_ext", type=str, default="jpg")
     args = C.load_combined(parser, argv)
 
     mp = C.extract(args, C.ModelParams)
@@ -32,7 +35,9 @@ def main(argv=None):
 
     import jax.numpy as jnp
     from ibgs_tpu.data.ply import load_gaussian_ply
-    from ibgs_tpu.eval.render_driver import (EvalRenderer, extract_tsdf_mesh,
+    from ibgs_tpu.eval.render_driver import (EvalRenderer,
+                                             dump_test_time_data,
+                                             extract_tsdf_mesh,
                                              folder_size_mb, render_split)
     from ibgs_tpu.models import aggregation
     from ibgs_tpu.models.gaussians import GaussianModel, init_from_points
@@ -127,14 +132,19 @@ def main(argv=None):
     ev = EvalRenderer(state, scene, opt, rcfg, net=net)
 
     results = {}
+    misc_path = None
     if not args.skip_test and scene.test_cameras:
+        # store + reload lossy source data first, mimicking the real test
+        # environment (reference render.py:157-186)
+        misc_path = dump_test_time_data(ev, mp.model_path, it,
+                                        ext=args.src_image_ext)
         fps = render_split(
             ev, scene.test_cameras,
             [scene.test_images[k] for k in range(len(scene.test_cameras))],
             scene.test_nearest_ids,
             os.path.join(mp.model_path, "test", f"ours_{it}"),
             measure_fps=args.measure_fps)
-        results["fps"] = fps
+        results["FPS"] = results["fps"] = fps
     if not args.skip_train:
         render_split(
             ev, scene.train_cameras,
@@ -143,12 +153,26 @@ def main(argv=None):
             os.path.join(mp.model_path, "train", f"ours_{it}"))
     if args.render_geo:
         mesh_path = os.path.join(mp.model_path, "mesh.ply")
-        extract_tsdf_mesh(ev, mesh_path, voxel_size=args.voxel_size)
+        extract_tsdf_mesh(ev, mesh_path, voxel_size=args.voxel_size,
+                          use_depth_filter=args.use_depth_filter)
         print("mesh written to", mesh_path)
 
-    results["n_gaussians"] = n
+    results["n_gaussians"] = results["num_gaussians"] = n
     results["model_mb"] = folder_size_mb(
         os.path.join(pc_root, f"iteration_{it}"))
+    # full deployment footprint = stored src data + PLY + aggregation net
+    # checkpoint (reference render.py:188-196)
+    total_mb = results["model_mb"]
+    if misc_path is not None:
+        total_mb += folder_size_mb(misc_path)
+    if net is not None:
+        ckpts = [f for f in os.listdir(mp.model_path)
+                 if f.startswith("chkpnt")]
+        if ckpts:
+            last = sorted(ckpts, key=lambda s: int(s[6:-4]))[-1]
+            total_mb += os.path.getsize(
+                os.path.join(mp.model_path, last)) / 1e6
+    results["memory"] = total_mb
     with open(os.path.join(mp.model_path, "result_fps_mem.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
