@@ -26,14 +26,6 @@ from ibgs_tpu.train.trainer import (SideOptState, StepPhase, TrainState,
                                     densify_step, make_train_step)
 
 
-def _gather_src(stacks, indices, count, cam, max_src):
-    idx = np.zeros((max_src,), np.int32)
-    idx[: len(indices)] = indices[:max_src]
-    return source_views_from_stacks(
-        stacks["images"], stacks["depths"], stacks["w2v"], stacks["centers"],
-        jnp.asarray(idx), jnp.int32(count), cam)
-
-
 _gather_src_jit = jax.jit(source_views_from_stacks)
 
 
@@ -131,13 +123,19 @@ def train(
     update_depth = jax.jit(lambda cache, i, d: cache.at[i].set(d))
     logger = TrainLogger(model_path)
 
-    @jax.jit
-    def eval_render(model, cam, src):
-        from ibgs_tpu.renderer import render_view
-        res, _ = render_view(model, cam, rcfg, bg_fixed, src=src,
-                             learnt_normal=opt.learnt_normal,
-                             render_geo=True, return_depth_normal=False)
-        return res.render, res.median_depth, res.normal
+    def make_eval_render(rcfg):
+        # factory (not a module-level closure): eval_render must be rebuilt
+        # when instance_cap grows, since jit inlines rcfg at trace time
+        @jax.jit
+        def eval_render(model, cam, src):
+            from ibgs_tpu.renderer import render_view
+            res, _ = render_view(model, cam, rcfg, bg_fixed, src=src,
+                                 learnt_normal=opt.learnt_normal,
+                                 render_geo=True, return_depth_normal=False)
+            return res.render, res.median_depth, res.normal
+        return eval_render
+
+    eval_render = make_eval_render(rcfg)
 
     def run_eval(it):
         """Reference training_report (train.py:104-170): PSNR over the
@@ -242,6 +240,21 @@ def train(
         if phase.render_geo:
             stacks["depths"] = update_depth(
                 stacks["depths"], cam_idx, aux["median_depth"])
+
+        # ---- instance-cap overflow: grow + recompile instead of silently
+        # truncating the deepest Gaussians (binning.py caps at instance_cap;
+        # mirrors the P-capacity growth below) ----
+        if it % 100 == 0 or it == first_iter:
+            n_inst = int(aux["n_instances"])
+            if n_inst > rcfg.instance_cap:
+                import dataclasses as _dc
+                newcap = 1 << int(np.ceil(np.log2(n_inst * 1.25)))
+                print(f"[it {it}] WARNING: tile instances {n_inst} exceed "
+                      f"instance_cap {rcfg.instance_cap} (deepest splats "
+                      f"dropped); growing cap -> {newcap} and recompiling")
+                rcfg = _dc.replace(rcfg, instance_cap=newcap)
+                steps.clear()
+                eval_render = make_eval_render(rcfg)
 
         # ---- maintenance cadence (train.py:399-430) ----
         if it < opt.densify_until_iter:
