@@ -50,7 +50,7 @@ def main():
     )
     gt = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
 
-    def loss_fn(params):
+    def loss_fn(params, src, gt):
         m = model.replace(params=params)
         res, _ = render_view(m, cam, cfg, jnp.zeros(3), src=src,
                              render_geo=True, return_depth_normal=False)
@@ -58,21 +58,23 @@ def main():
                 + 0.1 * jnp.abs(res.ibr.warped_image).mean()
                 + 1e-3 * res.median_depth.mean())
 
-    grad_fn = jax.grad(lambda p, e: loss_fn(
-        p.replace(xyz=p.xyz + e)), argnums=0)
+    grad_fn = jax.grad(lambda p, e, src, gt: loss_fn(
+        p.replace(xyz=p.xyz + e), src, gt), argnums=0)
 
-    def gnorm(eps):
-        g = grad_fn(model.params, eps)
+    # big arrays enter as jit ARGUMENTS (closed-over constants are inlined
+    # into the HLO and blow up the remote-compile request on this image)
+    def gnorm(params, eps, src, gt):
+        g = grad_fn(params, eps, src, gt)
         return sum(jnp.sum(x * x) for x in jax.tree.leaves(g))
 
     step = jax.jit(gnorm)
     t0 = time.time()
-    v = float(step(jnp.float32(0)))
+    v = float(step(model.params, jnp.float32(0), src, gt))
     compile_s = time.time() - t0
 
     t0 = time.time()
     for k in range(iters):
-        v = float(step(jnp.float32(k) * 1e-7))   # scalar D2H forces sync
+        v = float(step(model.params, jnp.float32(k) * 1e-7, src, gt))
     dt = (time.time() - t0) / iters
 
     pix_per_s = H * W / dt

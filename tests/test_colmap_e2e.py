@@ -1,0 +1,69 @@
+"""End-to-end COLMAP data-path test on the committed miniature fixture
+(tests/fixtures/mini_colmap: 4 tiny images + binary sparse files, generated
+by tests/fixtures/make_colmap_fixture.py).  Covers the previously untested
+chain load_scene → Scene buffers → train (reference analog:
+scene/__init__.py + colmap_loader.py driven by train.py)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ibgs_tpu.config import ModelParams, OptimizationParams, PipelineParams
+from ibgs_tpu.data.dataset import load_scene, write_multiview_json
+
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "mini_colmap")
+
+
+def test_load_scene_colmap_binary():
+    scene = load_scene(FIXTURE, multi_view_num=3, multi_view_max_angle=120.0,
+                       multi_view_max_dis=10.0)
+    assert len(scene.train_cameras) == 4 and not scene.test_cameras
+    assert scene.images.shape == (4, 48, 64, 3)
+    assert scene.points.shape == (300, 3) and scene.colors.shape == (300, 3)
+    assert 0.0 <= scene.images.min() and scene.images.max() <= 1.0
+    assert scene.cameras_extent > 1.0
+    # geometric consistency: the point cloud projects inside every view
+    for cam in scene.train_cameras:
+        pc = scene.points @ np.asarray(cam.view)[:3, :3].T \
+            + np.asarray(cam.view)[:3, 3]
+        assert (pc[:, 2] > 0).mean() > 0.95
+        u = pc[:, 0] / pc[:, 2] * float(cam.fx) + float(cam.cx)
+        assert ((u > 0) & (u < 64)).mean() > 0.8
+    # every view has neighbours, none lists itself first
+    for k, ids in enumerate(scene.nearest_ids):
+        assert len(ids) >= 1 and all(i != k for i in ids)
+
+
+def test_load_scene_eval_split_holdout():
+    scene = load_scene(FIXTURE, eval_split=True, multi_view_num=3,
+                       multi_view_max_angle=120.0, multi_view_max_dis=10.0)
+    # every-8th holdout: view 0 becomes test (reference scene/__init__.py)
+    assert len(scene.test_cameras) == 1 and len(scene.train_cameras) == 3
+    assert scene.test_nearest_ids and len(scene.test_nearest_ids[0]) >= 1
+
+
+@pytest.mark.slow
+def test_train_on_colmap_fixture(tmp_path):
+    scene = load_scene(FIXTURE, multi_view_num=3, multi_view_max_angle=120.0,
+                       multi_view_max_dis=10.0)
+    write_multiview_json(scene, str(tmp_path))
+    from ibgs_tpu.train.loop import train
+    opt = OptimizationParams(
+        iterations=20, densify_from_iter=8, densification_interval=8,
+        densify_until_iter=18, opacity_reset_interval=10_000,
+        single_view_weight_from_iter=10, multi_view_weight_from_iter=10,
+        use_color_aggregation=False, number_src_frames=2,
+        position_lr_max_steps=20)
+    pipe = PipelineParams(backend="oracle", instance_cap=1 << 14)
+    state, stacks = train(
+        scene, ModelParams(sh_degree=0), opt, pipe, model_path=str(tmp_path),
+        save_iterations=(20,), test_iterations=(), log_every=5, quiet=True)
+    log = [json.loads(l) for l in
+           open(os.path.join(tmp_path, "train_log.jsonl"))]
+    assert np.isfinite(log[-1]["image_loss"])
+    assert log[-1]["psnr"] > log[0]["psnr"], (log[0], log[-1])
+    assert os.path.exists(os.path.join(tmp_path, "multi_view.json"))
+    assert os.path.exists(os.path.join(
+        tmp_path, "point_cloud", "iteration_20", "point_cloud.ply"))
