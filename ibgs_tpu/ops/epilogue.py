@@ -232,30 +232,37 @@ def ibr_epilogue(
     valid = (wdepth > 0.0) & (depth_err < depth_error_threshold) & src_real
 
     # --- pack valid sources first, preserving source order (forward.cu:626-655)
-    order = jnp.argsort(~jnp.moveaxis(valid, 0, -1), axis=-1, stable=True)
-    order = jnp.moveaxis(order, -1, 0)                      # (S,H,W)
+    # Static one-hot selection over the S (<=5) source slots instead of a
+    # per-pixel argsort + take_along_axis (8M+ scalar gathers at 1080p):
+    # rank[s] = #valid sources before s; packed slot k sums x[s] over the
+    # unique s with valid[s] and rank[s]==k.  Entries past n_valid are
+    # zero/-1 — exactly what the masked pack produced.
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1   # (S,H,W)
+    n_valid = valid.sum(axis=0)                              # (H,W)
+    sel = [valid[s] & (rank[s] == jnp.arange(S)[:, None, None])
+           for s in range(S)]                                # per-s (S,H,W)
 
-    def pack(x):  # (S,H,W,...) gather along S by per-pixel order
-        return jnp.take_along_axis(
-            x, order.reshape(order.shape + (1,) * (x.ndim - 3)), axis=0
-        )
+    def pack(x):  # (S,H,W,...) valid-first packing along S (masked to 0)
+        m = [sel[s].reshape(sel[s].shape + (1,) * (x.ndim - 3)) for s in
+             range(S)]
+        return sum(jnp.where(m[s], x[s][None], 0) for s in range(S))
 
-    valid_p = pack(valid)
+    valid_p = jnp.arange(S, dtype=jnp.int32)[:, None, None] < n_valid
     warped = wsum_color / (wsum[..., None] + EPS)
-    warped_p = pack(warped) * valid_p[..., None]
+    warped_p = pack(warped)
 
     src_dir = mpt_world_c[None] - src_pos[:, None, None, :]
     src_dir = src_dir * lax.rsqrt((src_dir * src_dir).sum(-1, keepdims=True) + EPS)
     ray_dot = (src_dir * ray[None]).sum(-1)                  # (S,H,W)
     dcam = (cam.cam_pos - src_pos)[:, None, None, :] * jnp.ones((S, H, W, 3))
     feat = jnp.concatenate([dcam, ray_dot[..., None]], axis=-1)  # (S,H,W,4)
-    feat_p = lax.stop_gradient(pack(feat) * valid_p[..., None])
+    feat_p = lax.stop_gradient(pack(feat))
 
     src_ids = jnp.broadcast_to(
         jnp.arange(S, dtype=jnp.int32)[:, None, None], (S, H, W)
     )
     idx_p = jnp.where(valid_p, pack(src_ids), -1)
-    wsum_p = pack(wsum) * valid_p
+    wsum_p = pack(wsum)
 
     min_err = jnp.where(valid, depth_err, 1.0).min(axis=0)
     min_err = jnp.minimum(min_err, 1.0)
