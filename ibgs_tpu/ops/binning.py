@@ -9,17 +9,20 @@ per-instance random access entirely:
 
   1. Gaussians are depth-sorted once (P elements, cheap).
   2. Instance slots are assigned in depth-rank order by an exclusive
-     prefix sum.  Everything each slot needs from its Gaussian (depth
-     rank, tile-rect fields, base offset) is delivered WITHOUT gathers:
-     values are scattered to each Gaussian's first slot packed as
-     (rank << 8 | field) words, then propagated across the slot range by
-     `associative_scan(max)` — the rank bits make the scan monotone.
+     prefix sum.  The depth rank reaches every slot with one head-scatter
+     + `associative_scan(max)` (monotone by construction); the rest of
+     the per-slot Gaussian data (tile-rect fields, base offset) follows
+     by rank-indexed gathers from P-sized tables — random access into a
+     few-hundred-KB table is cache-resident, only CAP-sized random
+     gathers carry the ~8 ns/row cost.
   3. ONE stable single-key sort by tile id finishes the ordering: within
      a tile, instances are already depth-ascending, and the stable sort
      preserves the reference's (tile, depth, gaussian-id) tie order.
+     Validity needs no payload slot (padding sorts to the end as
+     tile == num_tiles).
   4. Tile ranges come from boundary scatters + a reverse-cummin backfill.
 
-Limits (asserted): cap ≤ 2^22 instances, tile grid ≤ 255 × 255.
+Limits (asserted): cap < 2^31 instances, num_tiles < 2^31.
 
 The instance list has a static capacity `cap` with a validity mask
 (overflow drops the deepest Gaussians; callers read `n_instances` to
@@ -34,9 +37,7 @@ from jax import lax
 
 from ibgs_tpu.ops.preprocess import Splats2D
 
-MAX_CAP = 1 << 22
-FIELD_BITS = 8
-FIELD_MASK = (1 << FIELD_BITS) - 1
+MAX_CAP = 1 << 31
 
 
 def tile_ranges_from_sorted(tile_sorted: jnp.ndarray, num_tiles: int,
@@ -75,7 +76,7 @@ class TileBins:
 
 def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
                with_gauss_id: bool = True) -> TileBins:
-    assert cap <= MAX_CAP and tiles_x <= FIELD_MASK and tiles_y <= FIELD_MASK
+    assert cap < MAX_CAP and tiles_x * tiles_y < MAX_CAP
     num_tiles = tiles_x * tiles_y
     P = sp.depth.shape[0]
     n_tiles = lax.stop_gradient(sp.n_tiles)
@@ -88,35 +89,37 @@ def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
     offsets = jnp.cumsum(cnt) - cnt                    # exclusive prefix
     total = offsets[-1] + cnt[-1]
 
-    # 2. per-slot gaussian data via packed head-scatter + monotone cummax
+    # 2. per-slot gaussian data: ONE head-scatter + monotone cummax delivers
+    # the depth rank to every slot; everything else (rect fields, base
+    # offset) follows by rank-indexed gathers from P-sized tables — random
+    # access into a few-hundred-KB table is cache-resident and ~free,
+    # unlike cap-sized gathers (~8 ns/row), so only the rank needs the scan.
     ranks_p = jnp.arange(P, dtype=jnp.int32)
     head_pos = jnp.where(cnt > 0, offsets, cap)        # cap = dropped
-    rx = sp.rect_min[order, 0].astype(jnp.int32)
-    ry = sp.rect_min[order, 1].astype(jnp.int32)
+    rank = lax.associative_scan(
+        jnp.maximum,
+        jnp.zeros((cap,), jnp.int32).at[head_pos].max(ranks_p, mode="drop"))
+
+    rx = sp.rect_min[order, 0].astype(jnp.int32)[rank]
+    ry = sp.rect_min[order, 1].astype(jnp.int32)[rank]
     rw = jnp.maximum(
-        (sp.rect_max[order, 0] - sp.rect_min[order, 0]).astype(jnp.int32), 1)
+        (sp.rect_max[order, 0] - sp.rect_min[order, 0]).astype(jnp.int32),
+        1)[rank]
+    base = offsets[rank]
 
-    def propagate(vals):
-        buf = jnp.zeros((cap,), jnp.int32).at[head_pos].max(
-            vals, mode="drop")
-        return lax.associative_scan(jnp.maximum, buf)
-
-    packA = propagate((ranks_p << FIELD_BITS) | rx)
-    packB = propagate((ranks_p << FIELD_BITS) | ry)
-    packC = propagate((ranks_p << FIELD_BITS) | rw)
-    base = propagate(offsets)                          # nondecreasing itself
-
-    rank = packA >> FIELD_BITS
     inst = jnp.arange(cap, dtype=jnp.int32)
     inst_valid = inst < total
     local = inst - base
-    tx = (packA & FIELD_MASK) + local % jnp.maximum(packC & FIELD_MASK, 1)
-    ty = (packB & FIELD_MASK) + local // jnp.maximum(packC & FIELD_MASK, 1)
+    tx = rx + local % rw
+    ty = ry + local // rw
     tile = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles)
 
-    # 3. one stable sort by tile id (instances already depth-ordered)
-    tile_sorted, rank_sorted, valid_sorted, slot_sorted = lax.sort(
-        (tile, rank, inst_valid.astype(jnp.int32), inst), num_keys=1)
+    # 3. one stable sort by tile id (instances already depth-ordered);
+    # validity is derivable (tile == num_tiles marks padding), so only
+    # rank + pre-sort slot ride along as payloads
+    tile_sorted, rank_sorted, slot_sorted = lax.sort(
+        (tile, rank, inst), num_keys=1)
+    valid_sorted = tile_sorted < num_tiles
 
     # 4. tile ranges: boundary scatters + reverse-cummin backfill
     start, stop = tile_ranges_from_sorted(tile_sorted, num_tiles,
