@@ -42,6 +42,7 @@ def train(
     quiet: bool = False,
     seed: int = 24,
     log_every: int = 200,
+    viewer_port: Optional[int] = None,
 ):
     os.makedirs(model_path, exist_ok=True)
     from ibgs_tpu.data.dataset import write_multiview_json
@@ -196,7 +197,24 @@ def train(
     metrics_log = []
     t_start = time.time()
 
+    # live SIBR viewer hook (reference network_gui, here actually wired)
+    if viewer_port is not None:
+        from ibgs_tpu.eval import viewer as _viewer
+        _viewer.init(port=viewer_port)
+
+        def _viewer_render(cam, msg):
+            # plain gaussian render at the viewer's requested resolution
+            # (sources off: count=0 → no warp inputs needed)
+            src = _gather_src_jit(
+                stacks["images"], stacks["depths"], stacks["w2v"],
+                stacks["centers"],
+                jnp.zeros((rcfg.max_src,), jnp.int32), jnp.int32(0), cam)
+            img, _d, _n = eval_render(state.model, cam, src)
+            return np.asarray(img)
+
     for it in range(first_iter, opt.iterations + 1):
+        if viewer_port is not None:
+            _viewer.serve_once(_viewer_render)
         if it == opt.single_view_weight_from_iter:
             # seed learnt normals from the smallest covariance axis
             # (reference train.py:261-263)

@@ -23,6 +23,8 @@ def main(argv=None):
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--port", type=int, default=None,
+                        help="serve the SIBR network viewer on this port")
     parser.add_argument("--synthetic", action="store_true",
                         help="train on the built-in synthetic scene")
     args = parser.parse_args(argv)
@@ -63,7 +65,8 @@ def main(argv=None):
           save_iterations=tuple(args.save_iterations),
           test_iterations=tuple(args.test_iterations),
           checkpoint_iterations=tuple(args.checkpoint_iterations),
-          start_checkpoint=args.start_checkpoint, quiet=args.quiet)
+          start_checkpoint=args.start_checkpoint, quiet=args.quiet,
+          viewer_port=args.port)
     print("\nTraining complete.")
 
 
