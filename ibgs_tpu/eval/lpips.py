@@ -47,8 +47,12 @@ class LPIPS:
         return cls(convs, lins)
 
     def _features(self, x):
-        """x: (H, W, 3) in [0,1] → list of 5 normalised feature maps."""
-        x = (x * 2.0 - 1.0 - _SHIFT) / _SCALE
+        """x: (H, W, 3) in [0,1] → list of 5 normalised feature maps.
+
+        NOTE the reference's lpipsPyTorch z-scores the [0,1] input directly
+        (modules/networks.py:52 — no canonical-LPIPS ×2−1 rescale); we
+        replicate that exactly."""
+        x = (x - _SHIFT) / _SCALE
         x = x[None].transpose(0, 3, 1, 2)         # NCHW
         feats = []
         ends = set(_SLICE_ENDS.values())
@@ -69,7 +73,9 @@ class LPIPS:
             # torchvision feature indices: slice ends fall on the relu just
             # processed, i.e. index layer-1
             if layer - 1 in ends:
-                f = x / jnp.sqrt((x * x).sum(1, keepdims=True) + 1e-10)
+                # normalize_activation (modules/utils.py:6-8): eps is added
+                # OUTSIDE the sqrt
+                f = x / (jnp.sqrt((x * x).sum(1, keepdims=True)) + 1e-10)
                 feats.append(f)
         return feats
 
@@ -79,7 +85,7 @@ class LPIPS:
         total = 0.0
         for f1, f2, lin in zip(fa, fb, self.lins):
             d = (f1 - f2) ** 2
-            w = jnp.maximum(lin, 0.0)             # lin layers are 1x1, >=0
-            total = total + (d * w[None, :, 0, :, :] if w.ndim == 4
-                             else d * w.reshape(1, -1, 1, 1)).sum(1).mean()
+            # 1x1 no-bias conv head, spatial mean (modules/lpips.py:33-36);
+            # weights are used as stored (the reference applies no clamp)
+            total = total + (d * lin.reshape(1, -1, 1, 1)).sum(1).mean()
         return total

@@ -58,15 +58,105 @@ def load_points(path):
     return verts
 
 
+def cull_mesh(args):
+    """DTU mask culling (reference scripts/eval_dtu/evaluate_single_scene.py
+    cull_scan): project mesh vertices into every view, keep those landing on
+    a dilated foreground mask in ALL views (points outside a view count as
+    kept for that view), then apply the scan's scale_mat and export."""
+    from scipy.ndimage import binary_dilation
+    from PIL import Image
+    from ibgs_tpu.eval.tsdf import save_mesh_ply
+
+    verts, faces = load_mesh_ply(args.mesh)
+    cams = np.load(os.path.join(args.instance_dir, "cameras.npz"))
+    n_images = len([k for k in cams.files if k.startswith("world_mat_")])
+    mask_dir = os.path.join(args.instance_dir, "mask")
+    mask_paths = sorted(
+        os.path.join(mask_dir, f) for f in os.listdir(mask_dir)
+        if f.endswith(".png")) if os.path.isdir(mask_dir) else []
+
+    keep = np.ones(len(verts), bool)
+    if args.mask_cull and mask_paths:
+        # disk(24) dilation structuring element (unisurf convention)
+        r = 24
+        yy, xx = np.mgrid[-r:r + 1, -r:r + 1]
+        disk = (xx * xx + yy * yy) <= r * r
+        hom = np.concatenate([verts, np.ones((len(verts), 1))], -1).T
+        for i in range(n_images):
+            P = (cams[f"world_mat_{i}"] @ cams[f"scale_mat_{i}"])[:3, :4]
+            # K,R,t from P by RQ decomposition (rend_util.load_K_Rt_from_P)
+            K, Rt = _decompose_projection(P)
+            cp = K @ Rt @ hom
+            u = cp[0] / (cp[2] + 1e-6)
+            v = cp[1] / (cp[2] + 1e-6)
+            m = np.asarray(Image.open(mask_paths[i]))
+            if m.ndim == 3:
+                m = m[..., 0]
+            H, W = m.shape
+            md = binary_dilation(m.astype(np.float32) / 256.0 > 0, disk)
+            inside = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+            ui = np.clip(np.rint(u).astype(np.int64), 0, W - 1)
+            vi = np.clip(np.rint(v).astype(np.int64), 0, H - 1)
+            keep &= md[vi, ui] | ~inside
+        vkeep = keep
+        remap = np.cumsum(vkeep) - 1
+        fkeep = vkeep[faces].all(1)
+        verts = verts[vkeep]
+        faces = remap[faces[fkeep]]
+    sm = cams["scale_mat_0"]
+    verts = verts * sm[0, 0] + sm[:3, 3][None]
+    save_mesh_ply(args.out, verts, faces)
+    print(json.dumps({"vertices": int(len(verts)),
+                      "faces": int(len(faces)), "out": args.out}))
+
+
+def _decompose_projection(P):
+    """P (3,4) → K (3,3), [R|t] (3,4) with K upper-triangular, diag>0
+    (rend_util.load_K_Rt_from_P semantics via RQ decomposition)."""
+    from scipy.linalg import rq
+    K, R = rq(P[:, :3])
+    s = np.diag(np.sign(np.diag(K)))
+    K, R = K @ s, s @ R
+    if np.linalg.det(R) < 0:
+        R = -R
+    t = np.linalg.inv(K) @ P[:, 3]
+    return K / K[2, 2], np.concatenate([R, t[:, None]], -1)
+
+
 def chamfer(args):
     """DTU-style: mean data→GT and GT→data distances, max_dist culled
-    (reference scripts/eval_dtu/eval.py semantics)."""
+    (reference scripts/eval_dtu/eval.py semantics).  With --obsmask_dir and
+    --scan, applies the official ObsMask/BB/Res observability culling to the
+    data→GT direction and the ground-plane cut to GT→data
+    (eval.py:98-133)."""
     data = load_points(args.mesh)
     gt = load_points(args.gt)
     data = voxel_downsample(data, args.downsample)
     gt = voxel_downsample(gt, args.downsample)
+
+    data_in = data
+    if args.obsmask_dir and args.scan is not None:
+        from scipy.io import loadmat
+        om = loadmat(os.path.join(args.obsmask_dir,
+                                  f"ObsMask{args.scan}_10.mat"))
+        ObsMask, BB, Res = om["ObsMask"], om["BB"].astype(np.float32), \
+            om["Res"]
+        patch = args.patch_size
+        inb = ((data >= BB[:1] - patch)
+               & (data < BB[1:] + patch * 2)).all(-1)
+        data_in = data[inb]
+        grid = np.around((data_in - BB[:1]) / Res).astype(np.int32)
+        ginb = ((grid >= 0) & (grid < np.array(ObsMask.shape)[None])).all(-1)
+        gi = grid[ginb]
+        in_obs = ObsMask[gi[:, 0], gi[:, 1], gi[:, 2]].astype(bool)
+        data = data_in[ginb][in_obs]
+        plane = loadmat(os.path.join(args.obsmask_dir,
+                                     f"Plane{args.scan}.mat"))["P"]
+        gt_h = np.concatenate([gt, np.ones_like(gt[:, :1])], -1)
+        gt = gt[(plane.reshape(1, 4) * gt_h).sum(-1) > 0]
+
     d2g = cKDTree(gt).query(data, k=1)[0]
-    g2d = cKDTree(data).query(gt, k=1)[0]
+    g2d = cKDTree(data_in).query(gt, k=1)[0]
     d2g = d2g[d2g < args.max_dist]
     g2d = g2d[g2d < args.max_dist]
     acc = float(d2g.mean())
@@ -103,12 +193,27 @@ def main(argv=None):
     c.add_argument("--gt", required=True)
     c.add_argument("--max_dist", type=float, default=20.0)
     c.add_argument("--downsample", type=float, default=0.2)
+    c.add_argument("--obsmask_dir", type=str, default=None,
+                   help="DTU ObsMask dir (ObsMask{scan}_10.mat, "
+                        "Plane{scan}.mat)")
+    c.add_argument("--scan", type=int, default=None)
+    c.add_argument("--patch_size", type=float, default=60.0)
+    cu = sub.add_parser("cull")
+    cu.add_argument("--mesh", required=True)
+    cu.add_argument("--instance_dir", required=True,
+                    help="dir with cameras.npz and mask/*.png")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--mask_cull", action="store_true", default=True)
     f = sub.add_parser("fscore")
     f.add_argument("--mesh", required=True)
     f.add_argument("--gt", required=True)
     f.add_argument("--threshold", type=float, default=0.05)
     args = p.parse_args(argv)
-    return chamfer(args) if args.cmd == "chamfer" else fscore(args)
+    if args.cmd == "chamfer":
+        return chamfer(args)
+    if args.cmd == "cull":
+        return cull_mesh(args)
+    return fscore(args)
 
 
 if __name__ == "__main__":
