@@ -71,6 +71,47 @@ def _padded(size: int, tile: int) -> int:
     return -(-size // tile) * tile
 
 
+def mark_visible(xyz: jnp.ndarray, cam: Camera) -> jnp.ndarray:
+    """(P,) bool frustum-culling mask: view-space depth > 0.2 (reference
+    GaussianRasterizer.markVisible → in_frustum, diff_plane_rasterization/
+    __init__.py:283-292 / cuda_rasterizer/auxiliary.h:143-168)."""
+    z = xyz @ cam.view[2, :3] + cam.view[2, 3]
+    return z > 0.2
+
+
+def _validate_inputs(xyz, scale, quat, opacity, sh_coeffs, normal_world,
+                     plane_offset, screen_dummy, rgb_override):
+    """Input contract of the reference rasterizer bindings
+    (diff_plane_rasterization/__init__.py:294-316, rasterize_points.cu
+    CHECK_INPUT): consistent leading dim, fixed trailing shapes, exactly
+    one color source."""
+    P = xyz.shape[0]
+    specs = [("xyz", xyz, (3,)), ("scale", scale, (3,)),
+             ("quat", quat, (4,)), ("opacity", opacity, ()),
+             ("normal_world", normal_world, (3,)),
+             ("plane_offset", plane_offset, ())]
+    if screen_dummy is not None:
+        specs.append(("screen_dummy", screen_dummy, (2,)))
+    for name, arr, trail in specs:
+        if arr.shape != (P,) + trail:
+            raise ValueError(
+                f"rasterize: {name} must have shape {(P,) + trail}, got "
+                f"{arr.shape}")
+    if (sh_coeffs is None) == (rgb_override is None):
+        raise ValueError(
+            "rasterize: provide exactly one of sh_coeffs or rgb_override")
+    if sh_coeffs is not None and (
+            sh_coeffs.ndim != 3 or sh_coeffs.shape[0] != P
+            or sh_coeffs.shape[2] != 3):
+        raise ValueError(
+            f"rasterize: sh_coeffs must be (P, n_sh, 3), got "
+            f"{sh_coeffs.shape}")
+    if rgb_override is not None and rgb_override.shape != (P, 3):
+        raise ValueError(
+            f"rasterize: rgb_override must be (P, 3), got "
+            f"{rgb_override.shape}")
+
+
 def rasterize(
     *,
     xyz: jnp.ndarray,
@@ -99,6 +140,8 @@ def rasterize(
     the unit of image-space sharding across a device mesh (row0 may be a
     traced multiple of tile_h, rows is static)."""
     P = xyz.shape[0]
+    _validate_inputs(xyz, scale, quat, opacity, sh_coeffs, normal_world,
+                     plane_offset, screen_dummy, rgb_override)
     band = viewport_rows is not None
     rows = viewport_rows if band else cam.height
     row0 = viewport_row0 if band else 0
