@@ -4,6 +4,14 @@ Measures the north-star metric (BASELINE.json): forward+backward throughput
 of the plane-based rasterizer with the image-based warping path at a
 realistic scene density, on whatever accelerator is attached.
 
+Timing methodology (CLAUDE.md): the remote-TPU relay adds ~20-30 ms of
+per-dispatch latency and `block_until_ready` through it under-reports, so
+iterations are chained INSIDE one jit via `lax.fori_loop` with a data
+dependency between steps, and the chain returns a scalar whose D2H copy
+forces completion.  We take the min over several chain runs to reject
+relay-congestion flukes (observed 580 ms <-> 2600 ms swings on identical
+programs).
+
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 """
 import json
@@ -11,14 +19,31 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
 
 import numpy as np
 
 
 def main():
     import jax
+
+    # Persistent compile cache: the Mosaic remote-compile service can take
+    # minutes per kernel (and occasionally degrades to ~10 min for trivial
+    # programs); a warm cache makes re-runs of this exact bench compile in
+    # seconds.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(_ROOT, ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
+    from jax import lax
+
     from ibgs_tpu.models.gaussians import init_from_points
     from ibgs_tpu.ops.epilogue import SourceViews
     from ibgs_tpu.ops.rasterize import RasterConfig
@@ -30,6 +55,7 @@ def main():
     H = int(os.environ.get("BENCH_H", 544))
     n = int(os.environ.get("BENCH_N", 100_000))
     iters = int(os.environ.get("BENCH_ITERS", 5))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
     cap = int(os.environ.get("BENCH_CAP", 1 << 21))
 
     rng = np.random.default_rng(0)
@@ -61,21 +87,39 @@ def main():
     grad_fn = jax.grad(lambda p, e, src, gt: loss_fn(
         p.replace(xyz=p.xyz + e), src, gt), argnums=0)
 
-    # big arrays enter as jit ARGUMENTS (closed-over constants are inlined
-    # into the HLO and blow up the remote-compile request on this image)
     def gnorm(params, eps, src, gt):
         g = grad_fn(params, eps, src, gt)
         return sum(jnp.sum(x * x) for x in jax.tree.leaves(g))
 
-    step = jax.jit(gnorm)
-    t0 = time.time()
-    v = float(step(model.params, jnp.float32(0), src, gt))
-    compile_s = time.time() - t0
+    # big arrays enter as jit ARGUMENTS (closed-over constants are inlined
+    # into the HLO and blow up the remote-compile request on this image)
+    def chain(params, src, gt):
+        def body(i, acc):
+            # data dependency: eps depends on the running accumulator, so
+            # steps cannot be reordered/overlapped away by the scheduler
+            eps = acc * 1e-30 + jnp.float32(i) * 1e-7
+            return acc + gnorm(params, eps, src, gt)
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
+    step = jax.jit(chain)
     t0 = time.time()
-    for k in range(iters):
-        v = float(step(model.params, jnp.float32(k) * 1e-7, src, gt))
-    dt = (time.time() - t0) / iters
+    v = float(step(model.params, src, gt))
+    t_first = time.time() - t0
+    assert np.isfinite(v), "bench step produced non-finite grad norm"
+
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    if prof_dir:
+        from ibgs_tpu.utils.profiling import trace
+        with trace(prof_dir):
+            float(step(model.params, src, gt))
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        float(step(model.params, src, gt))
+        best = min(best, time.time() - t0)
+    dt = best / iters
+    compile_s = max(t_first - best, 0.0)
 
     pix_per_s = H * W / dt
     # Baseline scale: the reference paper-era CUDA rasterizer trains ~10-15
@@ -91,6 +135,7 @@ def main():
         "vs_baseline": round(pix_per_s / baseline, 4),
         "detail": {"step_ms": round(dt * 1e3, 2),
                    "compile_s": round(compile_s, 1),
+                   "chain_iters": iters, "repeats": repeats,
                    "backend": backend,
                    "device": str(jax.devices()[0])},
     }))

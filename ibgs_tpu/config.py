@@ -35,6 +35,12 @@ class PipelineParams:
     backend: str = "pallas"            # "pallas" | "oracle"
     instance_cap: int = 1 << 20
     debug: bool = False
+    # jax.profiler capture window (Perfetto/TensorBoard traces); off when
+    # profile_num_steps == 0.  Trace lands in <model_path>/trace unless
+    # profile_dir is set.
+    profile_from_iter: int = 100
+    profile_num_steps: int = 0
+    profile_dir: str = ""
 
 
 @dataclass

@@ -40,6 +40,30 @@ from ibgs_tpu.ops.preprocess import Splats2D
 MAX_CAP = 1 << 31
 
 
+def cummax_i32(x: jnp.ndarray, block: int = 4096) -> jnp.ndarray:
+    """Inclusive running max of a 1-D int32 array.
+
+    `lax.associative_scan`'s recursive odd/even decomposition takes
+    ~215 s of XLA-TPU compile at 2M elements and 1-D `lax.cummax` 23 s
+    (measured, v5e); this two-level formulation — row-wise cummax of a
+    (R, block) reshape, then a short scan over row maxima broadcast back —
+    compiles in under a second and runs at the same speed."""
+    n = x.shape[0]
+    if n <= block:
+        return lax.cummax(x)
+    pad = (-n) % block
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), jnp.iinfo(x.dtype).min,
+                                         x.dtype)])
+    x2 = x.reshape(-1, block)
+    within = lax.cummax(x2, axis=1)
+    row_prefix = lax.cummax(within[:, -1])
+    carry = jnp.concatenate(
+        [jnp.full((1,), jnp.iinfo(x.dtype).min, x.dtype), row_prefix[:-1]])
+    out = jnp.maximum(within, carry[:, None]).reshape(-1)
+    return out[:n] if pad else out
+
+
 def tile_ranges_from_sorted(tile_sorted: jnp.ndarray, num_tiles: int,
                             n_valid) -> tuple:
     """[start, stop) index ranges per tile from a tile-id-sorted instance
@@ -96,16 +120,20 @@ def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
     # unlike cap-sized gathers (~8 ns/row), so only the rank needs the scan.
     ranks_p = jnp.arange(P, dtype=jnp.int32)
     head_pos = jnp.where(cnt > 0, offsets, cap)        # cap = dropped
-    rank = lax.associative_scan(
-        jnp.maximum,
+    rank = cummax_i32(
         jnp.zeros((cap,), jnp.int32).at[head_pos].max(ranks_p, mode="drop"))
 
-    rx = sp.rect_min[order, 0].astype(jnp.int32)[rank]
-    ry = sp.rect_min[order, 1].astype(jnp.int32)[rank]
-    rw = jnp.maximum(
-        (sp.rect_max[order, 0] - sp.rect_min[order, 0]).astype(jnp.int32),
-        1)[rank]
-    base = offsets[rank]
+    # ONE packed row gather for the per-slot fields: four separate 1-column
+    # gathers cost 52 ms at cap=2M on v5e vs 2.7 ms for a single (P,4) row
+    # gather with the same (sorted) rank indices.
+    tab = jnp.stack(
+        [sp.rect_min[:, 0].astype(jnp.int32)[order],
+         sp.rect_min[:, 1].astype(jnp.int32)[order],
+         jnp.maximum((sp.rect_max[:, 0] - sp.rect_min[:, 0]).astype(
+             jnp.int32), 1)[order],
+         offsets], axis=1)                       # (P, 4) depth-rank order
+    rows = tab[rank]
+    rx, ry, rw, base = rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]
 
     inst = jnp.arange(cap, dtype=jnp.int32)
     inst_valid = inst < total

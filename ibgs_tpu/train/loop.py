@@ -24,6 +24,7 @@ from ibgs_tpu.train import losses
 from ibgs_tpu.train.logging import TrainLogger, colorize_depth
 from ibgs_tpu.train.trainer import (SideOptState, StepPhase, TrainState,
                                     densify_step, make_train_step)
+from ibgs_tpu.utils.profiling import step_annotation
 
 
 _gather_src_jit = jax.jit(source_views_from_stacks)
@@ -212,7 +213,19 @@ def train(
             img, _d, _n = eval_render(state.model, cam, src)
             return np.asarray(img)
 
+    profile_dir = pipe.profile_dir or os.path.join(model_path, "trace")
+    profiling_now = False
+
     for it in range(first_iter, opt.iterations + 1):
+        if pipe.profile_num_steps:
+            if it == pipe.profile_from_iter:
+                jax.profiler.start_trace(profile_dir)
+                profiling_now = True
+            elif profiling_now and it == (pipe.profile_from_iter
+                                          + pipe.profile_num_steps):
+                jax.profiler.stop_trace()
+                profiling_now = False
+                print(f"[it {it}] profiler trace written to {profile_dir}")
         if viewer_port is not None:
             _viewer.serve_once(_viewer_render)
         if it == opt.single_view_weight_from_iter:
@@ -251,9 +264,10 @@ def train(
             / max(opt.color_aggregate_burnin_steps, 1), 0.0, 1.0)
         burned_in = jnp.float32((burn + 1.0) / 2.0)
 
-        state, aux = step_fn(state, cam, jnp.int32(cam_idx), gt, src,
-                             jnp.int32(it), bg, use_app, burned_in,
-                             jnp.float32(net_lr))
+        with step_annotation("train_step", it):
+            state, aux = step_fn(state, cam, jnp.int32(cam_idx), gt, src,
+                                 jnp.int32(it), bg, use_app, burned_in,
+                                 jnp.float32(net_lr))
 
         if phase.render_geo:
             stacks["depths"] = update_depth(

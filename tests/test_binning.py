@@ -50,3 +50,17 @@ def test_truncation_is_prefix():
     trunc = binning.bin_splats(sp, tx, ty, cap)
     assert int(trunc.n_instances) == total          # reported pre-truncation
     assert int(np.asarray(trunc.tile_stop).max()) <= cap
+
+
+def test_cummax_matches_associative_scan():
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ibgs_tpu.ops.binning import cummax_i32
+
+    rng = np.random.default_rng(3)
+    for n in (1, 7, 4096, 4097, 12288, 100_001):
+        x = jnp.asarray(rng.integers(-50, 50, n), jnp.int32)
+        ref = lax.associative_scan(jnp.maximum, x)
+        got = cummax_i32(x, block=4096)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
