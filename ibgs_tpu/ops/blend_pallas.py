@@ -344,7 +344,11 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
         TOTQ = jnp.sum(gS, axis=0, keepdims=True)
 
     s_al = lax.div(start, CHUNK) * CHUNK
-    nchunk = lax.div(stop - s_al + CHUNK - 1, CHUNK)
+    # instances past the last contributor of every pixel have contrib==False
+    # and produce zero grads — bound the chunk walk like the forward's
+    # saturation early-exit (ncontrib is the saved forward n_contrib)
+    stop_eff = jnp.minimum(stop, start + jnp.max(ncontrib))
+    nchunk = jnp.maximum(lax.div(stop_eff - s_al + CHUNK - 1, CHUNK), 0)
 
     def fv_dma(w, slot):
         return pltpu.make_async_copy(
