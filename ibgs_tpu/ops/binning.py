@@ -73,13 +73,13 @@ def tile_ranges_from_sorted(tile_sorted: jnp.ndarray, num_tiles: int,
     the reference's identifyTileRanges kernel (rasterizer_impl.cu:233-255).
     """
     cap = tile_sorted.shape[0]
-    pos = jnp.arange(cap, dtype=jnp.int32)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tile_sorted[:-1]])
-    is_head = tile_sorted != prev
-    start = jnp.full((num_tiles + 1,), cap, jnp.int32).at[
-        jnp.where(is_head, tile_sorted, num_tiles + 1)].min(pos, mode="drop")
+    # tile_sorted ascending → start[t] = first index with tile >= t, which
+    # is a vectorized binary search (21 probe rounds for cap=2M) instead of
+    # a cap-sized boundary scatter + reverse-cummin backfill (18 ms on v5e).
+    start = jnp.searchsorted(
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=tile_sorted.dtype),
+        side="left").astype(jnp.int32)
     start = start.at[num_tiles].min(jnp.asarray(n_valid, jnp.int32))
-    start = lax.associative_scan(jnp.minimum, start, reverse=True)
     return start[:num_tiles], start[1:]
 
 
@@ -203,9 +203,12 @@ def _pack_rows_bwd(res, g):
     lo = jnp.clip(bins.seg_off[:-1], 0, cap)
     hi = jnp.clip(bins.seg_off[1:], 0, cap)
     g_ranked = cums[hi] - cums[lo]                       # (P, C) rank order
-    g_feats = jnp.zeros((P, g.shape[1]), g.dtype).at[bins.order].set(
-        g_ranked, mode="drop", unique_indices=True)
-    return (g_feats, None)
+    # rank order → gaussian-id order via a GATHER by the inverse of the
+    # depth permutation (a P-row scatter-set costs ~2x the gather on v5e);
+    # the inverse comes from a cheap 2-operand P-sort of the permutation.
+    rinv = lax.sort((bins.order, jnp.arange(P, dtype=jnp.int32)),
+                    num_keys=1)[1]
+    return (g_ranked[rinv], None)
 
 
 pack_rows.defvjp(_pack_rows_fwd, _pack_rows_bwd)
