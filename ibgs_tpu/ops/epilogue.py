@@ -22,6 +22,7 @@ diff_plane_rasterization/__init__.py:117-250):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 from jax import lax
@@ -122,6 +123,140 @@ def bilinear_sample_packed(packed: jnp.ndarray, H: int, W: int,
     return out.reshape(u.shape + (C,))
 
 
+def _warp_views_impl(bd, bw, tables, r2s, pdx, pdy, intr):
+    """Reproject every buffer entry into each source view and accumulate
+    weighted bilinear colours (forward.cu:520-563).
+
+    bd, bw: (H, W, B) buffer depths / weights; tables: (S, Hs, Ws, 12)
+    packed 2x2 colour footprints; r2s: (S, 4, 4); pdx, pdy: (H, W) pixel
+    ray slopes; intr: (4,) [fx, fy, cx, cy].
+    Returns (wsum_color (S,H,W,3), wsum (S,H,W), rows (S,H,W,B,12))."""
+    S, Hs, Ws = tables.shape[0], tables.shape[1], tables.shape[2]
+    H, W, B = bd.shape
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    flat = tables.reshape(S, Hs * Ws, 12)
+
+    px_, py_, pz_ = pdx[..., None] * bd, pdy[..., None] * bd, bd
+
+    def xform(i):
+        return (r2s[:, i, 0][:, None, None, None] * px_
+                + r2s[:, i, 1][:, None, None, None] * py_
+                + r2s[:, i, 2][:, None, None, None] * pz_
+                + r2s[:, i, 3][:, None, None, None])
+
+    qx, qy, qz = xform(0), xform(1), xform(2)               # (S,H,W,B)
+    inv_z = 1.0 / (qz + EPS)
+    pu = qx * fx * inv_z + cx
+    pv = qy * fy * inv_z + cy
+    inb = (pu >= 0.0) & (pu <= Ws - 1.0) & (pv >= 0.0) & (pv <= Hs - 1.0)
+    w_eff = bw[None] * inb.astype(bw.dtype)
+
+    u0 = jnp.floor(pu)
+    v0 = jnp.floor(pv)
+    fu = pu - u0
+    fv = pv - v0
+    x0 = jnp.clip(u0.astype(jnp.int32), 0, Ws - 1)
+    y0 = jnp.clip(v0.astype(jnp.int32), 0, Hs - 1)
+    rows = jnp.stack(
+        [flat[s][(y0[s] * Ws + x0[s]).reshape(-1)].reshape(H, W, B, 12)
+         for s in range(S)], axis=0)                        # (S,H,W,B,12)
+
+    c00, c01 = rows[..., 0:3], rows[..., 3:6]
+    c10, c11 = rows[..., 6:9], rows[..., 9:12]
+    fu_, fv_ = fu[..., None], fv[..., None]
+    col = ((1 - fu_) * (1 - fv_) * c00 + fu_ * (1 - fv_) * c01
+           + (1 - fu_) * fv_ * c10 + fu_ * fv_ * c11)       # (S,H,W,B,3)
+    wsum_color = (col * w_eff[..., None]).sum(axis=3)       # (S,H,W,3)
+    wsum = w_eff.sum(axis=3)
+    return wsum_color, wsum, rows
+
+
+@jax.custom_vjp
+def _warp_views(bd, bw, tables, r2s, pdx, pdy, intr):
+    """Differentiable warp accumulation with a HAND-DERIVED backward.
+
+    XLA autodiff of this chain materialises ~20 (S,H,W,B) slabs plus
+    layout reshapes (~70 ms/step at 960x544, measured); the analytic VJP
+    (the same closed form as reference backward.cu:729-757: bilinear
+    texture gradient chained through the projection Jacobian dp/dd)
+    recomputes the elementwise chain and reads back only the saved
+    gathered rows."""
+    wsum_color, wsum, _ = _warp_views_impl(bd, bw, tables, r2s, pdx, pdy,
+                                           intr)
+    return wsum_color, wsum
+
+
+def _warp_views_fwd(bd, bw, tables, r2s, pdx, pdy, intr):
+    wsum_color, wsum, rows = _warp_views_impl(bd, bw, tables, r2s, pdx, pdy,
+                                              intr)
+    dims = (tables.shape[1], tables.shape[2])
+    return (wsum_color, wsum), (bd, bw, rows, r2s, pdx, pdy, intr, dims)
+
+
+def _warp_views_bwd(res, cts):
+    bd, bw, rows, r2s, pdx, pdy, intr, _dims = res
+    g_wsc, g_wsum = cts
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    Hs, Ws = _dims
+
+    # recompute the elementwise projection chain (cheap; identical fp math)
+    px_, py_, pz_ = pdx[..., None] * bd, pdy[..., None] * bd, bd
+
+    def xform(i):
+        return (r2s[:, i, 0][:, None, None, None] * px_
+                + r2s[:, i, 1][:, None, None, None] * py_
+                + r2s[:, i, 2][:, None, None, None] * pz_
+                + r2s[:, i, 3][:, None, None, None])
+
+    qx, qy, qz = xform(0), xform(1), xform(2)
+    inv_z = 1.0 / (qz + EPS)
+    pu = qx * fx * inv_z + cx
+    pv = qy * fy * inv_z + cy
+    inb = (pu >= 0.0) & (pu <= Ws - 1.0) & (pv >= 0.0) & (pv <= Hs - 1.0)
+    inbf = inb.astype(bw.dtype)
+    w_eff = bw[None] * inbf
+    fu = (pu - jnp.floor(pu))[..., None]
+    fv = (pv - jnp.floor(pv))[..., None]
+
+    c00, c01 = rows[..., 0:3], rows[..., 3:6]
+    c10, c11 = rows[..., 6:9], rows[..., 9:12]
+    col = ((1 - fu) * (1 - fv) * c00 + fu * (1 - fv) * c01
+           + (1 - fu) * fv * c10 + fu * fv * c11)           # (S,H,W,B,3)
+
+    gc = g_wsc[:, :, :, None, :]                            # (S,H,W,1,3)
+    # d wsum = Σ_b w_eff ; d wsum_color = Σ_b col·w_eff
+    dw_eff = (col * gc).sum(-1) + g_wsum[..., None]         # (S,H,W,B)
+    dbw = (dw_eff * inbf).sum(axis=0)                       # (H,W,B)
+
+    dcol = w_eff[..., None] * gc                            # (S,H,W,B,3)
+    dI_du = (1 - fv) * (c01 - c00) + fv * (c11 - c10)
+    dI_dv = (1 - fu) * (c10 - c00) + fu * (c11 - c01)
+    du = (dcol * dI_du).sum(-1)                             # (S,H,W,B)
+    dv = (dcol * dI_dv).sum(-1)
+
+    # projection Jacobian dp/d(depth): q = A·(pdx·d, pdy·d, d) + t, so
+    # dq/dd = A·(pdx, pdy, 1) =: r  (reference backward.cu:738-757)
+    def rdir(i):
+        return (r2s[:, i, 0][:, None, None] * pdx[None]
+                + r2s[:, i, 1][:, None, None] * pdy[None]
+                + r2s[:, i, 2][:, None, None])              # (S,H,W)
+
+    rx, ry, rz = rdir(0), rdir(1), rdir(2)
+    du_dbd = fx * (rx[..., None] - qx * inv_z * rz[..., None]) * inv_z
+    dv_dbd = fy * (ry[..., None] - qy * inv_z * rz[..., None]) * inv_z
+    dbd = (du * du_dbd + dv * dv_dbd).sum(axis=0)           # (H,W,B)
+
+    S = rows.shape[0]
+    # zero cotangents for the constant inputs (upstream stop_gradients
+    # drop them; XLA DCEs the broadcasts)
+    d_tables = jnp.zeros((S, Hs, Ws, 12), rows.dtype)
+    return (dbd, dbw, d_tables, jnp.zeros_like(r2s), jnp.zeros_like(pdx),
+            jnp.zeros_like(pdy), jnp.zeros_like(intr))
+
+
+_warp_views.defvjp(_warp_views_fwd, _warp_views_bwd)
+
+
 def median_depth_only(blend: BlendOutputs) -> jnp.ndarray:
     """Depth-only epilogue (forward.cu:507-510)."""
     tot = blend.buf_weight.sum(-1)
@@ -154,33 +289,18 @@ def ibr_epilogue(
     used = bw != 0.0
 
     # --- per-buffer-entry reprojection & colour warping (forward.cu:520-563)
-    # (tiny 3x3 transforms stay elementwise — batched small matmuls are
-    # pathological on the MXU)
-    px_, py_, pz_ = pdx[..., None] * bd, pdy[..., None] * bd, bd   # (H,W,B)
-
-    def xform(M, x, y, z, i):
-        return (M[:, i, 0][:, None, None, None] * x
-                + M[:, i, 1][:, None, None, None] * y
-                + M[:, i, 2][:, None, None, None] * z
-                + M[:, i, 3][:, None, None, None])
-
-    qx = xform(r2s, px_, py_, pz_, 0)                      # (S,H,W,B)
-    qy = xform(r2s, px_, py_, pz_, 1)
-    qz = xform(r2s, px_, py_, pz_, 2)
-    inv_z = 1.0 / (qz + EPS)
-    pu = qx * cam.fx * inv_z + cam.cx                      # (S,H,W,B)
-    pv = qy * cam.fy * inv_z + cam.cy
-    inb = (pu >= 0.0) & (pu <= W - 1.0) & (pv >= 0.0) & (pv <= Hs - 1.0)
-
-    # accumulate per source view to keep peak memory at one (H,W,B,3) slab;
-    # one packed-footprint row gather per view (see pack_bilinear_corners)
-    w_eff = bw[None] * inb.astype(bw.dtype)                 # (S,H,W,B)
+    # via the warp core with the hand-derived VJP (_warp_views); the tiny
+    # 3x3 transforms stay elementwise — batched small matmuls are
+    # pathological on the MXU.
     Ws = src.images.shape[2]
-    wsum_color = jnp.stack(
-        [(bilinear_sample_packed(pack_bilinear_corners(images[s]),
-                                 Hs, Ws, pu[s], pv[s])
-          * w_eff[s][..., None]).sum(axis=2) for s in range(S)], axis=0)
-    wsum = w_eff.sum(axis=3)                                # (S,H,W)
+    tables = jnp.stack(
+        [pack_bilinear_corners(images[s]).reshape(Hs, Ws, 12)
+         for s in range(S)], axis=0)
+    intr = jnp.stack([jnp.asarray(cam.fx, jnp.float32),
+                      jnp.asarray(cam.fy, jnp.float32),
+                      jnp.asarray(cam.cx, jnp.float32),
+                      jnp.asarray(cam.cy, jnp.float32)])
+    wsum_color, wsum = _warp_views(bd, bw, tables, r2s, pdx, pdy, intr)
 
     tot_w = (bw * used).sum(-1)                             # (H,W)
     median = (bw * bd).sum(-1) / (tot_w + EPS)
