@@ -123,52 +123,63 @@ def bilinear_sample_packed(packed: jnp.ndarray, H: int, W: int,
     return out.reshape(u.shape + (C,))
 
 
+def _proj_view(bd, r2s_s, pdx, pdy, intr, Hs, Ws):
+    """Projection chain of one source view, shared by the warp forward and
+    its backward recompute: buffer depths -> source pixel coords."""
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    px_, py_, pz_ = pdx[..., None] * bd, pdy[..., None] * bd, bd
+
+    def xf(i):
+        return (r2s_s[i, 0] * px_ + r2s_s[i, 1] * py_
+                + r2s_s[i, 2] * pz_ + r2s_s[i, 3])
+
+    qx, qy, qz = xf(0), xf(1), xf(2)                        # (H,W,B)
+    inv_z = 1.0 / (qz + EPS)
+    pu = qx * fx * inv_z + cx
+    pv = qy * fy * inv_z + cy
+    inb = (pu >= 0.0) & (pu <= Ws - 1.0) & (pv >= 0.0) & (pv <= Hs - 1.0)
+    return pu, pv, qx, qy, inv_z, inb
+
+
+def _bilerp_weights(pu, pv):
+    fu = (pu - jnp.floor(pu))[..., None]
+    fv = (pv - jnp.floor(pv))[..., None]
+    return fu, fv
+
+
+def _corner_mix(rows, fu, fv):
+    return ((1 - fu) * (1 - fv) * rows[..., 0:3]
+            + fu * (1 - fv) * rows[..., 3:6]
+            + (1 - fu) * fv * rows[..., 6:9]
+            + fu * fv * rows[..., 9:12])
+
+
 def _warp_views_impl(bd, bw, tables, r2s, pdx, pdy, intr):
     """Reproject every buffer entry into each source view and accumulate
     weighted bilinear colours (forward.cu:520-563).
 
     bd, bw: (H, W, B) buffer depths / weights; tables: (S, Hs, Ws, 12)
     packed 2x2 colour footprints; r2s: (S, 4, 4); pdx, pdy: (H, W) pixel
-    ray slopes; intr: (4,) [fx, fy, cx, cy].
-    Returns (wsum_color (S,H,W,3), wsum (S,H,W), rows (S,H,W,B,12))."""
+    ray slopes; intr: (4,) [fx, fy, cx, cy].  Per-view loop: stacking the
+    gathered rows into one (S,H,W,B,12) slab costs ~14 ms of layout copies
+    at 960x544 (trace-measured)."""
     S, Hs, Ws = tables.shape[0], tables.shape[1], tables.shape[2]
     H, W, B = bd.shape
-    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-    flat = tables.reshape(S, Hs * Ws, 12)
-
-    px_, py_, pz_ = pdx[..., None] * bd, pdy[..., None] * bd, bd
-
-    def xform(i):
-        return (r2s[:, i, 0][:, None, None, None] * px_
-                + r2s[:, i, 1][:, None, None, None] * py_
-                + r2s[:, i, 2][:, None, None, None] * pz_
-                + r2s[:, i, 3][:, None, None, None])
-
-    qx, qy, qz = xform(0), xform(1), xform(2)               # (S,H,W,B)
-    inv_z = 1.0 / (qz + EPS)
-    pu = qx * fx * inv_z + cx
-    pv = qy * fy * inv_z + cy
-    inb = (pu >= 0.0) & (pu <= Ws - 1.0) & (pv >= 0.0) & (pv <= Hs - 1.0)
-    w_eff = bw[None] * inb.astype(bw.dtype)
-
-    u0 = jnp.floor(pu)
-    v0 = jnp.floor(pv)
-    fu = pu - u0
-    fv = pv - v0
-    x0 = jnp.clip(u0.astype(jnp.int32), 0, Ws - 1)
-    y0 = jnp.clip(v0.astype(jnp.int32), 0, Hs - 1)
-    rows = jnp.stack(
-        [flat[s][(y0[s] * Ws + x0[s]).reshape(-1)].reshape(H, W, B, 12)
-         for s in range(S)], axis=0)                        # (S,H,W,B,12)
-
-    c00, c01 = rows[..., 0:3], rows[..., 3:6]
-    c10, c11 = rows[..., 6:9], rows[..., 9:12]
-    fu_, fv_ = fu[..., None], fv[..., None]
-    col = ((1 - fu_) * (1 - fv_) * c00 + fu_ * (1 - fv_) * c01
-           + (1 - fu_) * fv_ * c10 + fu_ * fv_ * c11)       # (S,H,W,B,3)
-    wsum_color = (col * w_eff[..., None]).sum(axis=3)       # (S,H,W,3)
-    wsum = w_eff.sum(axis=3)
-    return wsum_color, wsum, rows
+    wsc, ws, rows_all = [], [], []
+    for s in range(S):
+        pu, pv, _qx, _qy, _inv_z, inb = _proj_view(
+            bd, r2s[s], pdx, pdy, intr, Hs, Ws)
+        w_eff = bw * inb.astype(bw.dtype)                   # (H,W,B)
+        x0 = jnp.clip(jnp.floor(pu).astype(jnp.int32), 0, Ws - 1)
+        y0 = jnp.clip(jnp.floor(pv).astype(jnp.int32), 0, Hs - 1)
+        rows = tables[s].reshape(Hs * Ws, 12)[
+            (y0 * Ws + x0).reshape(-1)].reshape(H, W, B, 12)
+        fu, fv = _bilerp_weights(pu, pv)
+        col = _corner_mix(rows, fu, fv)                     # (H,W,B,3)
+        wsc.append((col * w_eff[..., None]).sum(axis=2))
+        ws.append(w_eff.sum(axis=2))
+        rows_all.append(rows)
+    return jnp.stack(wsc, 0), jnp.stack(ws, 0), tuple(rows_all)
 
 
 @jax.custom_vjp
@@ -194,62 +205,49 @@ def _warp_views_fwd(bd, bw, tables, r2s, pdx, pdy, intr):
 
 
 def _warp_views_bwd(res, cts):
-    bd, bw, rows, r2s, pdx, pdy, intr, _dims = res
+    bd, bw, rows_all, r2s, pdx, pdy, intr, dims = res
     g_wsc, g_wsum = cts
-    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-    Hs, Ws = _dims
+    fx, fy = intr[0], intr[1]
+    Hs, Ws = dims
+    S = len(rows_all)
 
-    # recompute the elementwise projection chain (cheap; identical fp math)
-    px_, py_, pz_ = pdx[..., None] * bd, pdy[..., None] * bd, bd
+    dbd = jnp.zeros_like(bd)
+    dbw = jnp.zeros_like(bw)
+    for s in range(S):
+        pu, pv, qx, qy, inv_z, inb = _proj_view(
+            bd, r2s[s], pdx, pdy, intr, Hs, Ws)
+        inbf = inb.astype(bw.dtype)
+        w_eff = bw * inbf
+        fu, fv = _bilerp_weights(pu, pv)
+        rows = rows_all[s]
+        col = _corner_mix(rows, fu, fv)                     # (H,W,B,3)
 
-    def xform(i):
-        return (r2s[:, i, 0][:, None, None, None] * px_
-                + r2s[:, i, 1][:, None, None, None] * py_
-                + r2s[:, i, 2][:, None, None, None] * pz_
-                + r2s[:, i, 3][:, None, None, None])
+        gc = g_wsc[s][:, :, None, :]                        # (H,W,1,3)
+        # d wsum = sum_b w_eff ; d wsum_color = sum_b col*w_eff
+        dw_eff = (col * gc).sum(-1) + g_wsum[s][:, :, None]
+        dbw = dbw + dw_eff * inbf
 
-    qx, qy, qz = xform(0), xform(1), xform(2)
-    inv_z = 1.0 / (qz + EPS)
-    pu = qx * fx * inv_z + cx
-    pv = qy * fy * inv_z + cy
-    inb = (pu >= 0.0) & (pu <= Ws - 1.0) & (pv >= 0.0) & (pv <= Hs - 1.0)
-    inbf = inb.astype(bw.dtype)
-    w_eff = bw[None] * inbf
-    fu = (pu - jnp.floor(pu))[..., None]
-    fv = (pv - jnp.floor(pv))[..., None]
+        dcol = w_eff[..., None] * gc                        # (H,W,B,3)
+        c00, c01 = rows[..., 0:3], rows[..., 3:6]
+        c10, c11 = rows[..., 6:9], rows[..., 9:12]
+        dI_du = (1 - fv) * (c01 - c00) + fv * (c11 - c10)
+        dI_dv = (1 - fu) * (c10 - c00) + fu * (c11 - c01)
+        du = (dcol * dI_du).sum(-1)                         # (H,W,B)
+        dv = (dcol * dI_dv).sum(-1)
 
-    c00, c01 = rows[..., 0:3], rows[..., 3:6]
-    c10, c11 = rows[..., 6:9], rows[..., 9:12]
-    col = ((1 - fu) * (1 - fv) * c00 + fu * (1 - fv) * c01
-           + (1 - fu) * fv * c10 + fu * fv * c11)           # (S,H,W,B,3)
+        # projection Jacobian dp/d(depth): q = A.(pdx*d, pdy*d, d) + t, so
+        # dq/dd = A.(pdx, pdy, 1) =: r  (reference backward.cu:738-757)
+        def rdir(i):
+            return (r2s[s, i, 0] * pdx + r2s[s, i, 1] * pdy + r2s[s, i, 2])
 
-    gc = g_wsc[:, :, :, None, :]                            # (S,H,W,1,3)
-    # d wsum = Σ_b w_eff ; d wsum_color = Σ_b col·w_eff
-    dw_eff = (col * gc).sum(-1) + g_wsum[..., None]         # (S,H,W,B)
-    dbw = (dw_eff * inbf).sum(axis=0)                       # (H,W,B)
+        rx, ry, rz = rdir(0), rdir(1), rdir(2)              # (H,W)
+        du_dbd = fx * (rx[..., None] - qx * inv_z * rz[..., None]) * inv_z
+        dv_dbd = fy * (ry[..., None] - qy * inv_z * rz[..., None]) * inv_z
+        dbd = dbd + du * du_dbd + dv * dv_dbd
 
-    dcol = w_eff[..., None] * gc                            # (S,H,W,B,3)
-    dI_du = (1 - fv) * (c01 - c00) + fv * (c11 - c10)
-    dI_dv = (1 - fu) * (c10 - c00) + fu * (c11 - c01)
-    du = (dcol * dI_du).sum(-1)                             # (S,H,W,B)
-    dv = (dcol * dI_dv).sum(-1)
-
-    # projection Jacobian dp/d(depth): q = A·(pdx·d, pdy·d, d) + t, so
-    # dq/dd = A·(pdx, pdy, 1) =: r  (reference backward.cu:738-757)
-    def rdir(i):
-        return (r2s[:, i, 0][:, None, None] * pdx[None]
-                + r2s[:, i, 1][:, None, None] * pdy[None]
-                + r2s[:, i, 2][:, None, None])              # (S,H,W)
-
-    rx, ry, rz = rdir(0), rdir(1), rdir(2)
-    du_dbd = fx * (rx[..., None] - qx * inv_z * rz[..., None]) * inv_z
-    dv_dbd = fy * (ry[..., None] - qy * inv_z * rz[..., None]) * inv_z
-    dbd = (du * du_dbd + dv * dv_dbd).sum(axis=0)           # (H,W,B)
-
-    S = rows.shape[0]
     # zero cotangents for the constant inputs (upstream stop_gradients
     # drop them; XLA DCEs the broadcasts)
-    d_tables = jnp.zeros((S, Hs, Ws, 12), rows.dtype)
+    d_tables = jnp.zeros((S, Hs, Ws, 12), rows_all[0].dtype)
     return (dbd, dbw, d_tables, jnp.zeros_like(r2s), jnp.zeros_like(pdx),
             jnp.zeros_like(pdy), jnp.zeros_like(intr))
 
