@@ -65,7 +65,10 @@ def main():
     model = init_from_points(pts, cols, max_sh_degree=2)
     cam = simple_camera(W, H)
     backend = "oracle" if jax.default_backend() == "cpu" else "pallas"
-    cfg = RasterConfig(instance_cap=cap, backend=backend)
+    # enable_mix_precision defaults True in the reference config; on TPU it
+    # additionally keeps the warp tables bf16 (see RasterConfig)
+    mixp = os.environ.get("BENCH_MIXP", "1") == "1"
+    cfg = RasterConfig(instance_cap=cap, backend=backend, mix_precision=mixp)
     S = 4
     src = SourceViews(
         images=jnp.asarray(rng.random((S, H, W, 3)), jnp.float32),

@@ -184,8 +184,9 @@ def pack_rows(feats_g: jnp.ndarray, bins: TileBins) -> jnp.ndarray:
     (~160 ms at cap=2M on v5e) — with gathers: instances of one Gaussian
     occupy the CONTIGUOUS pre-sort slot range [seg_off[r], seg_off[r+1]), so
     per-Gaussian grads are segment sums of an inverse-permuted cotangent:
-    one permutation scatter-set (int32), one cap-row gather, one cumsum and
-    two P-row boundary gathers (~25 ms)."""
+    slot-keyed payload sorts (sequential-pass data movement, see
+    _pack_rows_bwd), one cumsum, one boundary gather + adjacent diff, and
+    an inverse-permutation row gather."""
     out = feats_g[bins.order][bins.rank]
     return jnp.where(bins.inst_valid[:, None], out, 0.0)
 
@@ -198,10 +199,18 @@ def _pack_rows_bwd(res, g):
     bins, P = res
     cap = g.shape[0]
     g = jnp.where(bins.inst_valid[:, None], g, 0.0)
-    # sorted-position cotangents → pre-sort slot order (slot is a permutation)
-    inv = jnp.zeros((cap,), jnp.int32).at[bins.slot].set(
-        jnp.arange(cap, dtype=jnp.int32), mode="drop", unique_indices=True)
-    g_pre = g[inv]
+    # sorted-position cotangents → pre-sort slot order.  Applying the
+    # permutation as a random row gather costs 56 ms at cap=2M on v5e
+    # (latency-bound); a radix SORT keyed by the slot moves the same rows
+    # in sequential passes at 3.7 ms per 4 payload columns.  Four
+    # identical-shaped 5-operand sorts compile once (~16 s) — a 17-operand
+    # sort would run in one pass but costs 214 s of XLA compile.
+    C = g.shape[1]
+    cols = []
+    for k in range(0, C, 4):
+        pay = tuple(g[:, k + j] for j in range(min(4, C - k)))
+        cols.extend(lax.sort((bins.slot,) + pay, num_keys=1)[1:])
+    g_pre = jnp.stack(cols, axis=1)
     cums = jnp.cumsum(g_pre, axis=0)
     cums = jnp.concatenate([jnp.zeros((1, g.shape[1]), g.dtype), cums], axis=0)
     # adjacent segments share boundaries: one (P+1)-row gather + diff

@@ -175,7 +175,9 @@ def _warp_views_impl(bd, bw, tables, r2s, pdx, pdy, intr):
         rows = tables[s].reshape(Hs * Ws, 12)[
             (y0 * Ws + x0).reshape(-1)].reshape(H, W, B, 12)
         fu, fv = _bilerp_weights(pu, pv)
-        col = _corner_mix(rows, fu, fv)                     # (H,W,B,3)
+        # rows stay in the table dtype (bf16 under mix_precision — halves
+        # gather + residual bandwidth); the mix itself runs in f32
+        col = _corner_mix(rows.astype(jnp.float32), fu, fv)  # (H,W,B,3)
         wsc.append((col * w_eff[..., None]).sum(axis=2))
         ws.append(w_eff.sum(axis=2))
         rows_all.append(rows)
@@ -219,7 +221,7 @@ def _warp_views_bwd(res, cts):
         inbf = inb.astype(bw.dtype)
         w_eff = bw * inbf
         fu, fv = _bilerp_weights(pu, pv)
-        rows = rows_all[s]
+        rows = rows_all[s].astype(jnp.float32)
         col = _corner_mix(rows, fu, fv)                     # (H,W,B,3)
 
         gc = g_wsc[s][:, :, None, :]                        # (H,W,1,3)
@@ -267,6 +269,7 @@ def ibr_epilogue(
     src: SourceViews,
     depth_error_threshold: float = 0.01,
     row0=0,
+    mix_precision: bool = False,
 ) -> IBROutputs:
     H, W = blend.final_t.shape          # band (sharded) dims
     S, Hs = src.images.shape[0], src.images.shape[1]  # full source frames
@@ -291,9 +294,10 @@ def ibr_epilogue(
     # 3x3 transforms stay elementwise — batched small matmuls are
     # pathological on the MXU.
     Ws = src.images.shape[2]
+    table_dt = jnp.bfloat16 if mix_precision else jnp.float32
     tables = jnp.stack(
         [pack_bilinear_corners(images[s]).reshape(Hs, Ws, 12)
-         for s in range(S)], axis=0)
+         for s in range(S)], axis=0).astype(table_dt)
     intr = jnp.stack([jnp.asarray(cam.fx, jnp.float32),
                       jnp.asarray(cam.fy, jnp.float32),
                       jnp.asarray(cam.cx, jnp.float32),

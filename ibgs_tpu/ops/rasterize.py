@@ -44,6 +44,11 @@ class RasterConfig:
     max_src: int = 5
     depth_error_threshold: float = 0.01
     backend: str = "pallas"          # "pallas" | "oracle"
+    # enable_mix_precision (reference arguments/__init__.py:137): on TPU
+    # this additionally keeps the warp sampler's packed colour tables in
+    # bfloat16 (halves the gather bandwidth of the IBR epilogue; ~0.4%
+    # input quantisation, below the 8-bit source image precision).
+    mix_precision: bool = False
 
     def blend_cfg(self, render_geo: bool, depth_only: bool) -> BlendConfig:
         return BlendConfig(
@@ -240,7 +245,8 @@ def rasterize(
     elif render_geo:
         assert src is not None, "render_geo requires SourceViews"
         ibr = epilogue.ibr_epilogue(blend, cam, src, cfg.depth_error_threshold,
-                                    row0=row0)
+                                    row0=row0,
+                                    mix_precision=cfg.mix_precision)
         median = ibr.median_depth
     else:
         median = jnp.zeros((H, W), jnp.float32)

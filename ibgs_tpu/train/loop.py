@@ -62,6 +62,7 @@ def train(
         max_src=5,
         depth_error_threshold=opt.depth_error_threshold,
         backend=pipe.backend,
+        mix_precision=opt.enable_mix_precision,
     )
 
     model = init_from_points(scene.points, scene.colors, mp.sh_degree)

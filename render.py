@@ -128,7 +128,8 @@ def main(argv=None):
     rcfg = RasterConfig(instance_cap=pipe.instance_cap,
                         buffer_len=opt.buffer_length,
                         depth_error_threshold=opt.depth_error_threshold,
-                        backend=pipe.backend)
+                        backend=pipe.backend,
+                        mix_precision=opt.enable_mix_precision)
     ev = EvalRenderer(state, scene, opt, rcfg, net=net)
 
     results = {}

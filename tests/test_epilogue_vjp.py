@@ -65,3 +65,26 @@ def test_warp_views_grads_match_autodiff():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_warp_views_bf16_tables_close_to_f32():
+    args = _setup()
+    bd, bw, tables = args[0], args[1], args[2]
+    rest = args[3:]
+    c32, w32 = _warp_views(bd, bw, tables, *rest)
+    cbf, wbf = _warp_views(bd, bw, tables.astype(jnp.bfloat16), *rest)
+    # bf16 quantises the 8-bit-derived source colours by ~0.4%
+    np.testing.assert_allclose(np.asarray(cbf), np.asarray(c32),
+                               rtol=0, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(wbf), np.asarray(w32),
+                               rtol=0, atol=1e-5)
+
+    def loss(fn_tables, bd, bw):
+        c, w = _warp_views(bd, bw, fn_tables, *rest)
+        return jnp.sum(c * c) + jnp.sum(w)
+
+    g32 = jax.grad(loss, argnums=(1, 2))(tables, bd, bw)
+    gbf = jax.grad(loss, argnums=(1, 2))(tables.astype(jnp.bfloat16), bd, bw)
+    for a, b in zip(gbf, g32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=8e-2)
