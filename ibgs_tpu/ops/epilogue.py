@@ -175,8 +175,6 @@ def _warp_views_impl(bd, bw, tables, r2s, pdx, pdy, intr):
         rows = tables[s].reshape(Hs * Ws, 12)[
             (y0 * Ws + x0).reshape(-1)].reshape(H, W, B, 12)
         fu, fv = _bilerp_weights(pu, pv)
-        # rows stay in the table dtype (bf16 under mix_precision — halves
-        # gather + residual bandwidth); the mix itself runs in f32
         col = _corner_mix(rows.astype(jnp.float32), fu, fv)  # (H,W,B,3)
         wsc.append((col * w_eff[..., None]).sum(axis=2))
         ws.append(w_eff.sum(axis=2))
@@ -294,10 +292,14 @@ def ibr_epilogue(
     # 3x3 transforms stay elementwise — batched small matmuls are
     # pathological on the MXU.
     Ws = src.images.shape[2]
-    table_dt = jnp.bfloat16 if mix_precision else jnp.float32
+    # NOTE: bf16 tables were measured SLOWER here (XLA flips the table
+    # layout from instance-minor {0,1} to row-major {1,0} for 2-byte
+    # types, doubling the per-row gather cost: 24.6 vs 12.9 ms/view at
+    # 960x544 on v5e) — the packed colour tables stay f32.
+    del mix_precision
     tables = jnp.stack(
         [pack_bilinear_corners(images[s]).reshape(Hs, Ws, 12)
-         for s in range(S)], axis=0).astype(table_dt)
+         for s in range(S)], axis=0)
     intr = jnp.stack([jnp.asarray(cam.fx, jnp.float32),
                       jnp.asarray(cam.fy, jnp.float32),
                       jnp.asarray(cam.cx, jnp.float32),
