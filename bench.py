@@ -68,7 +68,9 @@ def main():
     # enable_mix_precision defaults True in the reference config; on TPU it
     # additionally keeps the warp tables bf16 (see RasterConfig)
     mixp = os.environ.get("BENCH_MIXP", "1") == "1"
-    cfg = RasterConfig(instance_cap=cap, backend=backend, mix_precision=mixp)
+    th, tw = (int(x) for x in os.environ.get("BENCH_TILE", "16x16").split("x"))
+    cfg = RasterConfig(instance_cap=cap, backend=backend, mix_precision=mixp,
+                       tile_h=th, tile_w=tw)
     S = 4
     src = SourceViews(
         images=jnp.asarray(rng.random((S, H, W, 3)), jnp.float32),

@@ -28,8 +28,13 @@ def mean_sq_dist_to_3nn(points: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
 
     def body(carry, qblock):
         qpts, qsq, qids = qblock
+        # HIGHEST precision is required: TPU matmuls default to bf16
+        # passes, and the |q|^2+|p|^2-2q.p form cancels catastrophically
+        # for near neighbours (bf16 error ~4e-3 vs true 3-NN d^2 ~ 4e-4 at
+        # 100k uniform points — silently corrupts every initial scale).
         d = (qsq[:, None] + sq[None, :]
-             - 2.0 * qpts @ pts.T)                       # (block, npad)
+             - 2.0 * jnp.matmul(qpts, pts.T,
+                                precision=lax.Precision.HIGHEST))
         d = jnp.maximum(d, 0.0)
         # mask self and padding columns
         col = jnp.arange(npad)

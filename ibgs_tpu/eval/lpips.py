@@ -65,7 +65,10 @@ class LPIPS:
                 layer += 1
             else:
                 w, b = self.convs[ci]
-                x = lax.conv_general_dilated(x, w, (1, 1), "SAME")
+                # HIGHEST: match torch f32 conv accuracy on TPU (default
+                # TPU conv precision is bf16 passes)
+                x = lax.conv_general_dilated(
+                    x, w, (1, 1), "SAME", precision=lax.Precision.HIGHEST)
                 x = x + b[None, :, None, None]
                 x = jnp.maximum(x, 0.0)
                 ci += 1

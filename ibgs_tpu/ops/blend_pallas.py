@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ibgs_tpu.ops import blend_common as bc
 from ibgs_tpu.ops.blend_common import BlendConfig, BlendOutputs, Instances
 
-NPIX = 128          # pixels per tile (one lane row: tile_h x tile_w = 8x16)
+NPIX = 128          # default pixels/tile; kernels use cfg.tile_h*cfg.tile_w
+#                     (must be a multiple of the 128-lane vreg width)
 KI = 32             # instances per vector step (sublane axis)
 CHUNK = 256         # instances DMA'd from HBM per step
 CF = 16             # packed feature channels
@@ -107,7 +108,7 @@ def _last_row(x):
 
 def _pixel_coords(cfg: BlendConfig, tiles_x: int, t, scal_ref):
     fx, fy, cx, cy = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
-    lane = lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+    lane = lax.broadcasted_iota(jnp.int32, (1, cfg.tile_h * cfg.tile_w), 1)
     tile_x = t % tiles_x
     tile_y = t // tiles_x
     px = (tile_x * cfg.tile_w + lane % cfg.tile_w).astype(jnp.float32)
@@ -149,6 +150,7 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
                 color_o, normal_o, t_o, nc_o, bd_o, bw_o, bcN_o,
                 fv2, fv, selR, tnR, bdR, bwR, bcR, sem2):
     B = cfg.buffer_len
+    NP = cfg.tile_h * cfg.tile_w
     t = pl.program_id(0)
     start = start_ref[t]
     stop = stop_ref[t]
@@ -188,7 +190,7 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
             (T, done, C3, N3, bd, bw, bcN, bptr, blw, last) = sst
             j = si * KI
             col, dx, dy, g, raw, alpha, ok = _alpha_terms(fv, j, px, py)
-            gidx = s + j + _sub_iota(KI)
+            gidx = s + j + _sub_iota(KI, NP)
             pos = gidx - start + 1
             ok = ok & (gidx >= start) & (gidx < stop) & (done < 1.0)
 
@@ -251,7 +253,7 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
                                      cfg.before_cap + rank_l)
                     slotB = lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
                     eq = (slot[None] == slotB) & push[None]     # (B,KI,NPIX)
-                    idxm = jnp.where(eq, _sub_iota(KI)[None], -1)
+                    idxm = jnp.where(eq, _sub_iota(KI, NP)[None], -1)
                     win = jnp.max(idxm, axis=1)                 # (B, NPIX)
                     oh = ((idxm == win[:, None, :]) & eq).astype(jnp.float32)
                     has = win >= 0
@@ -294,12 +296,12 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
         sst = lax.fori_loop(0, CHUNK // KI, sub, sst)
         return (c + 1,) + sst
 
-    z1 = jnp.zeros((1, NPIX), jnp.float32)
-    z3 = jnp.zeros((3, NPIX), jnp.float32)
-    zB = jnp.zeros((B, NPIX), jnp.float32)
-    i1 = jnp.zeros((1, NPIX), jnp.int32)
-    st = (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32), z1, z3, z3,
-          zB, zB, jnp.zeros((B, NPIX), jnp.int32), i1, i1, i1)
+    z1 = jnp.zeros((1, NP), jnp.float32)
+    z3 = jnp.zeros((3, NP), jnp.float32)
+    zB = jnp.zeros((B, NP), jnp.float32)
+    i1 = jnp.zeros((1, NP), jnp.int32)
+    st = (jnp.int32(0), jnp.ones((1, NP), jnp.float32), z1, z3, z3,
+          zB, zB, jnp.zeros((B, NP), jnp.int32), i1, i1, i1)
     st = lax.while_loop(chunk_cond, chunk_body, st)
     (_c, T, _done, C3, N3, bd, bw, bcN, _bp, _bl, last) = st
 
@@ -324,6 +326,7 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
                 _dzero,
                 dfeats_hbm,
                 fv2, fv, gv, acc2, extraR, ddR, qleR, sem2, rsem, osem):
+    NP = cfg.tile_h * cfg.tile_w
     t = pl.program_id(0)
     start = start_ref[t]
     stop = stop_ref[t]
@@ -390,7 +393,7 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
             (T, Pc, Pn, Qle) = sst
             j = si * KI
             col, dx, dy, g, raw, alpha, ok = _alpha_terms(fv, j, px, py)
-            gidx = s + j + _sub_iota(KI)
+            gidx = s + j + _sub_iota(KI, NP)
             pos = gidx - start + 1
             contrib = (ok & (gidx >= start) & (gidx < stop)
                        & (pos <= ncontrib))
@@ -420,7 +423,7 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
                 hit = (bcN >= pmin) & (bcN <= pmin + (KI - 1))
                 # default: no buffer slot touches this substep (common)
                 extraR[:, :] = -(TOTQ - Qle) / om_a
-                ddR[:, :] = jnp.zeros((KI, NPIX), jnp.float32)
+                ddR[:, :] = jnp.zeros((KI, NP), jnp.float32)
                 qleR[:, :] = Qle
 
                 @pl.when(jnp.max(hit.astype(jnp.int32)) > 0)
@@ -484,10 +487,10 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
         out_cp(c, slot).start()
         return sst
 
-    z1 = jnp.zeros((1, NPIX), jnp.float32)
+    z1 = jnp.zeros((1, NP), jnp.float32)
     lax.fori_loop(0, nchunk,
                   chunk_body,
-                  (jnp.ones((1, NPIX), jnp.float32), z1, z1, z1))
+                  (jnp.ones((1, NP), jnp.float32), z1, z1, z1))
 
     # drain the write pipeline before the next tile may RMW these regions
     @pl.when(nchunk >= 1)
@@ -503,40 +506,41 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
 # pallas_call plumbing + custom_vjp
 # --------------------------------------------------------------------------
 
-def _tile_block(ch):
-    return pl.BlockSpec((1, ch, NPIX), lambda t, *_: (t, 0, 0),
+def _tile_block(ch, npix):
+    return pl.BlockSpec((1, ch, npix), lambda t, *_: (t, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _fwd_call(static, feats, tile_start, tile_stop, scal):
     cfg, tiles_x, tiles_y, cap_pad, interpret = static
     B = cfg.buffer_len
+    NP = cfg.tile_h * cfg.tile_w
     num_tiles = tiles_x * tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[_tile_block(3), _tile_block(3), _tile_block(1),
-                   _tile_block(1), _tile_block(B), _tile_block(B),
-                   _tile_block(B)],
+        out_specs=[_tile_block(3, NP), _tile_block(3, NP), _tile_block(1, NP),
+                   _tile_block(1, NP), _tile_block(B, NP), _tile_block(B, NP),
+                   _tile_block(B, NP)],
         scratch_shapes=[pltpu.VMEM((2, CF, CHUNK), jnp.float32),
                         pltpu.VMEM((CHUNK, CF), jnp.float32),
-                        pltpu.VMEM((KI, NPIX), jnp.float32),
-                        pltpu.VMEM((1, NPIX), jnp.float32),
-                        pltpu.VMEM((B, NPIX), jnp.float32),
-                        pltpu.VMEM((B, NPIX), jnp.float32),
-                        pltpu.VMEM((B, NPIX), jnp.int32),
+                        pltpu.VMEM((KI, NP), jnp.float32),
+                        pltpu.VMEM((1, NP), jnp.float32),
+                        pltpu.VMEM((B, NP), jnp.float32),
+                        pltpu.VMEM((B, NP), jnp.float32),
+                        pltpu.VMEM((B, NP), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     f32, i32 = jnp.float32, jnp.int32
     out_shape = [
-        jax.ShapeDtypeStruct((num_tiles, 3, NPIX), f32),     # color
-        jax.ShapeDtypeStruct((num_tiles, 3, NPIX), f32),     # normal
-        jax.ShapeDtypeStruct((num_tiles, 1, NPIX), f32),     # final T
-        jax.ShapeDtypeStruct((num_tiles, 1, NPIX), i32),     # n_contrib
-        jax.ShapeDtypeStruct((num_tiles, B, NPIX), f32),     # buf depth
-        jax.ShapeDtypeStruct((num_tiles, B, NPIX), f32),     # buf weight
-        jax.ShapeDtypeStruct((num_tiles, B, NPIX), i32),     # buf contrib
+        jax.ShapeDtypeStruct((num_tiles, 3, NP), f32),       # color
+        jax.ShapeDtypeStruct((num_tiles, 3, NP), f32),       # normal
+        jax.ShapeDtypeStruct((num_tiles, 1, NP), f32),       # final T
+        jax.ShapeDtypeStruct((num_tiles, 1, NP), i32),       # n_contrib
+        jax.ShapeDtypeStruct((num_tiles, B, NP), f32),       # buf depth
+        jax.ShapeDtypeStruct((num_tiles, B, NP), f32),       # buf weight
+        jax.ShapeDtypeStruct((num_tiles, B, NP), i32),       # buf contrib
     ]
     return tuple(pl.pallas_call(
         functools.partial(_fwd_kernel, cfg, tiles_x),
@@ -550,25 +554,26 @@ def _bwd_call(static, feats, tile_start, tile_stop, scal, saved, cts):
     cfg, tiles_x, tiles_y, cap_pad, interpret = static
     B = cfg.buffer_len
     num_tiles = tiles_x * tiles_y
+    NP = cfg.tile_h * cfg.tile_w
     color_s, normal_s, t_s, nc_s, _bd_s, bw_s, bcN_s = saved
     dLc, dLn, dLt, dLbd, dLbw = cts
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  _tile_block(3), _tile_block(3), _tile_block(1),
-                  _tile_block(1), _tile_block(B), _tile_block(B),
-                  _tile_block(3), _tile_block(3), _tile_block(1),
-                  _tile_block(B), _tile_block(B),
+                  _tile_block(3, NP), _tile_block(3, NP), _tile_block(1, NP),
+                  _tile_block(1, NP), _tile_block(B, NP), _tile_block(B, NP),
+                  _tile_block(3, NP), _tile_block(3, NP), _tile_block(1, NP),
+                  _tile_block(B, NP), _tile_block(B, NP),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.VMEM((2, CF, CHUNK), jnp.float32),
                         pltpu.VMEM((CHUNK, CF), jnp.float32),
                         pltpu.VMEM((CHUNK, CF), jnp.float32),
                         pltpu.VMEM((2, CF, CHUNK), jnp.float32),
-                        pltpu.VMEM((KI, NPIX), jnp.float32),
-                        pltpu.VMEM((KI, NPIX), jnp.float32),
-                        pltpu.VMEM((1, NPIX), jnp.float32),
+                        pltpu.VMEM((KI, NP), jnp.float32),
+                        pltpu.VMEM((KI, NP), jnp.float32),
+                        pltpu.VMEM((1, NP), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
@@ -662,9 +667,9 @@ def blend_packed(feats_inst, bins, Wp: int, Hp: int,
                  fx, fy, cx, cy, cfg: BlendConfig, row0=0) -> BlendOutputs:
     """Blend from a pre-packed (cap, <=CF) per-instance feature table
     (column layout FX..FAY — see the channel constants above)."""
-    if cfg.tile_h * cfg.tile_w != NPIX:
+    if cfg.tile_h * cfg.tile_w % NPIX != 0:
         raise ValueError(
-            f"pallas backend requires tile_h*tile_w == {NPIX} "
+            f"pallas backend requires tile_h*tile_w % {NPIX} == 0 "
             f"(got {cfg.tile_h}x{cfg.tile_w})")
     cap = feats_inst.shape[0]
     cap_pad = (-(-cap // CHUNK) + 1) * CHUNK

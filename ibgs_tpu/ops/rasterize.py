@@ -36,18 +36,22 @@ from ibgs_tpu.ops.epilogue import IBROutputs, SourceViews
 class RasterConfig:
     """Static rasterizer configuration (hashable; part of the jit key).
 
-    The pallas backend requires tile_h * tile_w == 128 (one lane row)."""
-    tile_h: int = 8
+    The pallas backend requires tile_h * tile_w to be a multiple of the
+    128-lane vreg width.  16x16 (the reference's BLOCK_X/BLOCK_Y) measures
+    ~40%% fewer tile instances than 8x16 at equal quality — every sort/
+    scan/pack cost downstream scales with the instance count."""
+    tile_h: int = 16
     tile_w: int = 16
     instance_cap: int = 1 << 18
     buffer_len: int = 4
     max_src: int = 5
     depth_error_threshold: float = 0.01
     backend: str = "pallas"          # "pallas" | "oracle"
-    # enable_mix_precision (reference arguments/__init__.py:137): on TPU
-    # this additionally keeps the warp sampler's packed colour tables in
-    # bfloat16 (halves the gather bandwidth of the IBR epilogue; ~0.4%
-    # input quantisation, below the 8-bit source image precision).
+    # enable_mix_precision (reference arguments/__init__.py:137).  Reserved
+    # for rasterizer-side half-precision experiments; bf16 warp tables were
+    # measured SLOWER on v5e (XLA layout flip — see epilogue.py) so the
+    # epilogue currently ignores it.  The aggregation net consumes the same
+    # config flag separately (models/aggregation.py).
     mix_precision: bool = False
 
     def blend_cfg(self, render_geo: bool, depth_only: bool) -> BlendConfig:

@@ -50,8 +50,13 @@ def _blur(img: jnp.ndarray, size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     x = img.transpose(2, 0, 1)[:, None]            # (C, 1, H, W)
     kh = w.reshape(1, 1, size, 1)
     kw = w.reshape(1, 1, 1, size)
-    x = lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)])
-    x = lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)])
+    # HIGHEST: TPU convs default to bf16 passes; SSIM's variance terms
+    # (E[x^2]-E[x]^2) cancel catastrophically at bf16 blur precision
+    hp = lax.Precision.HIGHEST
+    x = lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)],
+                                 precision=hp)
+    x = lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)],
+                                 precision=hp)
     return x[:, 0].transpose(1, 2, 0)
 
 
