@@ -18,7 +18,7 @@ from tests.utils import face_camera, random_cloud, simple_camera
 CFG = RasterConfig(instance_cap=4096, backend="oracle")
 
 
-def _model(seed=0, n=60, cap=128, H=64, W=32):
+def _model(seed=0, n=60, cap=128, H=128, W=32):
     cam = simple_camera(W, H)
     params = face_camera(random_cloud(jax.random.PRNGKey(seed), n), cam)
     model0 = init_from_points(np.asarray(params["xyz"]),
@@ -38,7 +38,7 @@ def _model(seed=0, n=60, cap=128, H=64, W=32):
 
 def test_gsp_render_matches_single():
     assert len(jax.devices()) >= 8
-    model, cam = _model(seed=1, n=60, cap=128, H=64, W=32)
+    model, cam = _model(seed=1, n=60, cap=128, H=128, W=32)
     mesh = make_mesh(1, 8, axis_names=("dp", "gs"))
     img, ovf = gsp_render(model, cam, CFG, mesh, cap_local=1024,
                           exchange_cap=512, bg=jnp.array([0.2, 0.3, 0.4]))
@@ -52,7 +52,7 @@ def test_gsp_render_matches_single():
 @pytest.mark.parametrize("backend", ["oracle", "pallas"])
 def test_gsp_render_backends(backend):
     """The Pallas kernel must run (interpret mode) inside shard_map too."""
-    model, cam = _model(seed=2, n=50, cap=64, H=64, W=32)
+    model, cam = _model(seed=2, n=50, cap=64, H=128, W=32)
     cfg = RasterConfig(instance_cap=4096, backend=backend)
     mesh = make_mesh(1, 8, axis_names=("dp", "gs"))
     img, ovf = gsp_render(model, cam, cfg, mesh, cap_local=1024,
@@ -67,8 +67,8 @@ def test_gsp_train_step_matches_replicated():
     """Same loss and same post-Adam params as the replicated-band step —
     proves the all_to_all exchange routes gradients to owning shards."""
     assert len(jax.devices()) >= 8
-    model, cam = _model(seed=3, n=60, cap=128, H=64, W=32)
-    H, W, S = 64, 32, 2
+    model, cam = _model(seed=3, n=60, cap=128, H=128, W=32)
+    H, W, S = 128, 32, 2
     mesh_g = make_mesh(2, 4, axis_names=("dp", "gs"))
     mesh_r = make_mesh(2, 4)
     srcs = SourceViews(
@@ -101,7 +101,7 @@ def test_gsp_train_step_matches_replicated():
 def test_gsp_overflow_counter():
     """A too-small exchange capacity reports dropped instances instead of
     crashing (and still renders finitely)."""
-    model, cam = _model(seed=4, n=60, cap=64, H=64, W=32)
+    model, cam = _model(seed=4, n=60, cap=64, H=128, W=32)
     mesh = make_mesh(1, 8, axis_names=("dp", "gs"))
     img, ovf = gsp_render(model, cam, CFG, mesh, cap_local=1024,
                           exchange_cap=8)
