@@ -56,13 +56,19 @@ def main():
     n = int(os.environ.get("BENCH_N", 100_000))
     iters = int(os.environ.get("BENCH_ITERS", 5))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    cap = int(os.environ.get("BENCH_CAP", 1 << 21))
+    # Static sizes mirror what a converged training run settles at: the
+    # capacity-growth policy keeps ~1.3x headroom over alive splats, and the
+    # instance cap grows to ~1.2x the observed instance count (1.37M at this
+    # scene/tiling).  Round sizes (not pow2) keep every P-/cap-sized sort,
+    # scan and gather snug — padding rows cost exactly like real ones.
+    cap = int(os.environ.get("BENCH_CAP", 1_638_400))
+    capacity = int(os.environ.get("BENCH_CAPACITY", 131_072))
 
     rng = np.random.default_rng(0)
     pts = (rng.random((n, 3)) * 2.0 - 1.0).astype(np.float32)
     pts[:, 2] *= 0.3
     cols = rng.random((n, 3)).astype(np.float32)
-    model = init_from_points(pts, cols, max_sh_degree=2)
+    model = init_from_points(pts, cols, max_sh_degree=2, capacity=capacity)
     cam = simple_camera(W, H)
     backend = "oracle" if jax.default_backend() == "cpu" else "pallas"
     # enable_mix_precision defaults True in the reference config; on TPU it
