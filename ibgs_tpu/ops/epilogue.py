@@ -125,15 +125,20 @@ def bilinear_sample_packed(packed: jnp.ndarray, H: int, W: int,
 
 def _proj_view(bd, r2s_s, pdx, pdy, intr, Hs, Ws):
     """Projection chain of one source view, shared by the warp forward and
-    its backward recompute: buffer depths -> source pixel coords."""
+    its backward recompute: buffer depths -> source pixel coords.
+
+    bd is (B, H, W) — buffer-entry-MAJOR.  With B minor the downstream
+    reshape/sum/broadcast ops force (3,H,W,B)-transposed layout copies
+    (~20 ms/step at 960x544, trace-measured); with B leading, the B-sum is
+    four contiguous slice adds and the backward broadcast is free."""
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-    px_, py_, pz_ = pdx[..., None] * bd, pdy[..., None] * bd, bd
+    px_, py_, pz_ = pdx[None] * bd, pdy[None] * bd, bd
 
     def xf(i):
         return (r2s_s[i, 0] * px_ + r2s_s[i, 1] * py_
                 + r2s_s[i, 2] * pz_ + r2s_s[i, 3])
 
-    qx, qy, qz = xf(0), xf(1), xf(2)                        # (H,W,B)
+    qx, qy, qz = xf(0), xf(1), xf(2)                        # (B,H,W)
     inv_z = 1.0 / (qz + EPS)
     pu = qx * fx * inv_z + cx
     pv = qy * fy * inv_z + cy
@@ -158,31 +163,31 @@ def _warp_views_impl(bd, bw, tables, r2s, pdx, pdy, intr):
     """Reproject every buffer entry into each source view and accumulate
     weighted bilinear colours (forward.cu:520-563).
 
-    bd, bw: (H, W, B) buffer depths / weights; tables: (S, Hs, Ws, 12)
+    bd, bw: (B, H, W) buffer-MAJOR depths / weights; tables: (S, Hs, Ws, 12)
     packed 2x2 colour footprints; r2s: (S, 4, 4); pdx, pdy: (H, W) pixel
     ray slopes; intr: (4,) [fx, fy, cx, cy].  Per-view loop: stacking the
     gathered rows into one (S,H,W,B,12) slab costs ~14 ms of layout copies
-    at 960x544 (trace-measured)."""
+    at 960x544 (trace-measured).  Everything stays FLAT (BHW, k) through
+    the gather + corner mix; the B-sum is a leading-axis reduce of
+    contiguous (HW, 3) blocks (B-minor forms forced ~20 ms/step of
+    (3,H,W,B) transposes)."""
     S, Hs, Ws = tables.shape[0], tables.shape[1], tables.shape[2]
-    H, W, B = bd.shape
+    B, H, W = bd.shape
     wsc, ws, rows_all = [], [], []
     for s in range(S):
         pu, pv, _qx, _qy, _inv_z, inb = _proj_view(
             bd, r2s[s], pdx, pdy, intr, Hs, Ws)
-        w_eff = bw * inb.astype(bw.dtype)                   # (H,W,B)
+        w_eff = bw * inb.astype(bw.dtype)                   # (B,H,W)
         x0 = jnp.clip(jnp.floor(pu).astype(jnp.int32), 0, Ws - 1)
         y0 = jnp.clip(jnp.floor(pv).astype(jnp.int32), 0, Hs - 1)
-        # stay FLAT (HWB, k) through the gather + corner mix: reshaping the
-        # gathered rows to (H,W,B,12) forces two ~1.9 ms layout copies per
-        # view at 960x544 (trace-measured)
         rows = tables[s].reshape(Hs * Ws, 12)[
-            (y0 * Ws + x0).reshape(-1)]                     # (HWB, 12)
+            (y0 * Ws + x0).reshape(-1)]                     # (BHW, 12)
         fu = (pu - jnp.floor(pu)).reshape(-1, 1)
         fv = (pv - jnp.floor(pv)).reshape(-1, 1)
-        colf = _corner_mix(rows.astype(jnp.float32), fu, fv)  # (HWB, 3)
+        colf = _corner_mix(rows.astype(jnp.float32), fu, fv)  # (BHW, 3)
         wsc.append((colf * w_eff.reshape(-1, 1)).reshape(
-            H, W, B, 3).sum(axis=2))
-        ws.append(w_eff.sum(axis=2))
+            B, H * W, 3).sum(axis=0).reshape(H, W, 3))
+        ws.append(w_eff.sum(axis=0))
         rows_all.append(rows)
     return jnp.stack(wsc, 0), jnp.stack(ws, 0), tuple(rows_all)
 
@@ -216,33 +221,34 @@ def _warp_views_bwd(res, cts):
     Hs, Ws = dims
     S = len(rows_all)
 
-    H, W, B = bd.shape
+    B, H, W = bd.shape
     dbd = jnp.zeros_like(bd)
     dbw = jnp.zeros_like(bw)
     for s in range(S):
         pu, pv, qx, qy, inv_z, inb = _proj_view(
             bd, r2s[s], pdx, pdy, intr, Hs, Ws)
         inbf = inb.astype(bw.dtype)
-        w_eff_f = (bw * inbf).reshape(-1, 1)                # (HWB,1)
+        w_eff_f = (bw * inbf).reshape(-1, 1)                # (BHW,1)
         fu = (pu - jnp.floor(pu)).reshape(-1, 1)
         fv = (pv - jnp.floor(pv)).reshape(-1, 1)
-        rows = rows_all[s].astype(jnp.float32)              # (HWB,12)
-        col = _corner_mix(rows, fu, fv)                     # (HWB,3)
+        rows = rows_all[s].astype(jnp.float32)              # (BHW,12)
+        col = _corner_mix(rows, fu, fv)                     # (BHW,3)
 
-        gc = jnp.broadcast_to(g_wsc[s][:, :, None, :],
-                              (H, W, B, 3)).reshape(-1, 3)
+        # leading-axis broadcasts are tile-repeats, not transposes
+        gc = jnp.broadcast_to(g_wsc[s].reshape(1, H * W, 3),
+                              (B, H * W, 3)).reshape(-1, 3)
         # d wsum = sum_b w_eff ; d wsum_color = sum_b col*w_eff
         dw_eff = (col * gc).sum(-1, keepdims=True) + jnp.broadcast_to(
-            g_wsum[s][:, :, None], (H, W, B)).reshape(-1, 1)
-        dbw = dbw + (dw_eff * (inbf.reshape(-1, 1))).reshape(H, W, B)
+            g_wsum[s].reshape(1, H * W), (B, H * W)).reshape(-1, 1)
+        dbw = dbw + (dw_eff * (inbf.reshape(-1, 1))).reshape(B, H, W)
 
-        dcol = w_eff_f * gc                                 # (HWB,3)
+        dcol = w_eff_f * gc                                 # (BHW,3)
         c00, c01 = rows[..., 0:3], rows[..., 3:6]
         c10, c11 = rows[..., 6:9], rows[..., 9:12]
         dI_du = (1 - fv) * (c01 - c00) + fv * (c11 - c10)
         dI_dv = (1 - fu) * (c10 - c00) + fu * (c11 - c01)
-        du = (dcol * dI_du).sum(-1).reshape(H, W, B)
-        dv = (dcol * dI_dv).sum(-1).reshape(H, W, B)
+        du = (dcol * dI_du).sum(-1).reshape(B, H, W)
+        dv = (dcol * dI_dv).sum(-1).reshape(B, H, W)
 
         # projection Jacobian dp/d(depth): q = A.(pdx*d, pdy*d, d) + t, so
         # dq/dd = A.(pdx, pdy, 1) =: r  (reference backward.cu:738-757)
@@ -250,8 +256,8 @@ def _warp_views_bwd(res, cts):
             return (r2s[s, i, 0] * pdx + r2s[s, i, 1] * pdy + r2s[s, i, 2])
 
         rx, ry, rz = rdir(0), rdir(1), rdir(2)              # (H,W)
-        du_dbd = fx * (rx[..., None] - qx * inv_z * rz[..., None]) * inv_z
-        dv_dbd = fy * (ry[..., None] - qy * inv_z * rz[..., None]) * inv_z
+        du_dbd = fx * (rx[None] - qx * inv_z * rz[None]) * inv_z
+        dv_dbd = fy * (ry[None] - qy * inv_z * rz[None]) * inv_z
         dbd = dbd + du * du_dbd + dv * dv_dbd
 
     # zero cotangents for the constant inputs (upstream stop_gradients
@@ -292,8 +298,12 @@ def ibr_epilogue(
     pdx = (gx - cam.cx) / cam.fx   # (H, W)
     pdy = (gy - cam.cy) / cam.fy
 
-    bw = blend.buf_weight            # (H, W, B)
-    bd = blend.buf_depth
+    # buffer-entry-MAJOR (B, H, W) forms: leading-B keeps every warp-core
+    # reshape/broadcast/reduce layout-free (B-minor forced ~20 ms/step of
+    # (3,H,W,B) transposes at 960x544 — trace-measured); two 8 MB
+    # transposes here replace them
+    bw = jnp.transpose(blend.buf_weight, (2, 0, 1))   # (B, H, W)
+    bd = jnp.transpose(blend.buf_depth, (2, 0, 1))
     used = bw != 0.0
 
     # --- per-buffer-entry reprojection & colour warping (forward.cu:520-563)
@@ -315,17 +325,19 @@ def ibr_epilogue(
                       jnp.asarray(cam.cy, jnp.float32)])
     wsum_color, wsum = _warp_views(bd, bw, tables, r2s, pdx, pdy, intr)
 
-    tot_w = (bw * used).sum(-1)                             # (H,W)
-    median = (bw * bd).sum(-1) / (tot_w + EPS)
+    tot_w = (bw * used).sum(0)                              # (H,W)
+    median = (bw * bd).sum(0) / (tot_w + EPS)
 
     # median contributor window cache for the blend backward
     # (forward.cu:515-567: min/max over used entries, seeded with slot 0)
-    contrib = blend.buf_contrib
+    contrib = blend.buf_contrib                             # (H,W,B)
+    used_hwb = blend.buf_weight != 0.0
     low = jnp.minimum(
-        jnp.where(used, contrib, jnp.int32(2**30)).min(-1), contrib[..., 0]
+        jnp.where(used_hwb, contrib, jnp.int32(2**30)).min(-1),
+        contrib[..., 0]
     )
     high = jnp.maximum(
-        jnp.where(used, contrib, jnp.int32(0)).max(-1), contrib[..., 0]
+        jnp.where(used_hwb, contrib, jnp.int32(0)).max(-1), contrib[..., 0]
     )
 
     # --- median point & world-space viewing ray (forward.cu:569-592)

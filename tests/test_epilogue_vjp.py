@@ -10,10 +10,11 @@ from ibgs_tpu.ops.epilogue import (_warp_views, _warp_views_impl,
 
 def _setup(seed=0, S=3, H=12, W=16, B=4, Hs=20, Ws=24):
     rng = np.random.default_rng(seed)
-    bd = jnp.asarray(rng.random((H, W, B)) * 4 + 0.5, jnp.float32)
-    bw = jnp.asarray(rng.random((H, W, B)), jnp.float32)
+    # buffer-entry-major (B, H, W) — the _warp_views layout contract
+    bd = jnp.asarray(rng.random((B, H, W)) * 4 + 0.5, jnp.float32)
+    bw = jnp.asarray(rng.random((B, H, W)), jnp.float32)
     # zero some weights (unused buffer slots)
-    bw = bw * (rng.random((H, W, B)) > 0.3)
+    bw = bw * (rng.random((B, H, W)) > 0.3)
     imgs = rng.random((S, Hs, Ws, 3)).astype(np.float32)
     tables = jnp.stack(
         [pack_bilinear_corners(jnp.asarray(imgs[s])).reshape(Hs, Ws, 12)
