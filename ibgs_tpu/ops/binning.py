@@ -133,11 +133,21 @@ def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
         jnp.zeros((cap,), jnp.int32).at[head_pos].max(ranks_p, mode="drop"))
 
     # ONE packed row gather for the per-slot fields: four separate 1-column
-    # gathers cost 52 ms at cap=2M on v5e vs 2.7 ms for a single (P,4) row
-    # gather with the same (sorted) rank indices.
-    tab = jnp.concatenate([pre[:, :3], offsets[:, None]], axis=1)
+    # gathers cost 52 ms at cap=2M on v5e vs 2.7 ms for a single row gather
+    # with the same (sorted) rank indices.  The three rect fields ride in
+    # ONE int32 (rx<2^11 tiles, ry<2^11, rw<2^10): a (cap,2) gather moves
+    # half the bytes of (cap,4), and unpacking by shift/mask fuses into the
+    # consumers — column slices of a row-major gather output materialised
+    # ~5 ms/step of full passes at cap=1.6M (trace-measured).
+    # bit budget rx:10 | ry:11 | rw:10 = 31 (no sign overflow: max value
+    # is exactly 2^31-1); 16x16 tiles => images up to 16384x32768 px
+    assert tiles_x < (1 << 10) and tiles_y < (1 << 11)
+    packed_rect = (pre[:, 0] << 21) | (pre[:, 1] << 10) | pre[:, 2]
+    tab = jnp.stack([packed_rect, offsets], axis=1)
     rows = tab[rank]
-    rx, ry, rw, base = rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]
+    pr = rows[:, 0]
+    rx, ry, rw = pr >> 21, (pr >> 10) & ((1 << 11) - 1), pr & ((1 << 10) - 1)
+    base = rows[:, 1]
 
     inst = jnp.arange(cap, dtype=jnp.int32)
     inst_valid = inst < total

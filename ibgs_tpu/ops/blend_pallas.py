@@ -224,9 +224,16 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
                 pb = hd & (Ti > 0.5)
                 cand = hd & (Ti <= 0.5)
                 pbf = pb.astype(jnp.float32)
-                rank_b = bptr + (_cumsum_sub(pbf) - pbf).astype(jnp.int32)
                 cdf = cand.astype(jnp.float32)
-                rank_l = blw + (_cumsum_sub(cdf) - cdf).astype(jnp.int32)
+                # both buffer ranks from ONE packed scan: counts <= KI < 1024
+                # so nb + 1024*nl stays integer-exact in f32 (< 2^24) and a
+                # power-of-two scale/floor splits it back — saves a full
+                # 7-step sublane scan per substep
+                comb = _cumsum_sub(pbf + 1024.0 * cdf)
+                nl = jnp.floor(comb * (1.0 / 1024.0))
+                nb = comb - 1024.0 * nl
+                rank_b = bptr + (nb - pbf).astype(jnp.int32)
+                rank_l = blw + (nl - cdf).astype(jnp.int32)
                 pl_ok = cand & (rank_l < cfg.below_cap)
                 if cfg.depth_only:
                     # inclusive cut once the below-buffer fills

@@ -152,19 +152,67 @@ def _bilerp_weights(pu, pv):
     return fu, fv
 
 
-def _corner_mix(rows, fu, fv):
-    return ((1 - fu) * (1 - fv) * rows[..., 0:3]
-            + fu * (1 - fv) * rows[..., 3:6]
-            + (1 - fu) * fv * rows[..., 6:9]
-            + fu * fv * rows[..., 9:12])
+RGB10_SCALE = 1023.0
+
+
+def pack_rgb10(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) colours in [0,1] → (H, W) int32, 10 bits per channel.
+
+    Source images come from 8-bit files (reference uploads them to f32
+    textures, rasterizer_impl.cu:67-133); a 10-bit fixed-point grid carries
+    more precision than the 8-bit content, and packing a texel into ONE
+    int32 cuts the warp-gather row width 12→4 (the gather runs ~15 GB/s
+    effective on v5e — bytes moved are the cost)."""
+    q = jnp.round(jnp.clip(img, 0.0, 1.0) * RGB10_SCALE).astype(jnp.int32)
+    return (q[..., 0] << 20) | (q[..., 1] << 10) | q[..., 2]
+
+
+def pack_bilinear_corners_rgb10(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) colours → (H·W, 4) int32 table whose row y·W+x holds the
+    rgb10-packed 2x2 clamp-to-edge footprint (same clamp semantics as
+    pack_bilinear_corners)."""
+    p = pack_rgb10(img)                                   # (H, W)
+    H, W = p.shape
+    right = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    down = jnp.concatenate([p[1:], p[-1:]], axis=0)
+    downright = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    return jnp.stack([p, right, down, downright], axis=-1).reshape(H * W, 4)
+
+
+def _unpack_rgb10(v: jnp.ndarray):
+    """int32 rgb10 → three f32 arrays in [0,1] (same shape as v)."""
+    s = 1.0 / RGB10_SCALE
+    return (((v >> 20) & 1023).astype(jnp.float32) * s,
+            ((v >> 10) & 1023).astype(jnp.float32) * s,
+            (v & 1023).astype(jnp.float32) * s)
+
+
+def _corner_mix_rgb10(rows, fu, fv):
+    """Bilinear mix of an rgb10 footprint.  rows: (n, 4) int32; fu, fv:
+    (n,) 1-D fractional coords.  Returns three (n,) channel arrays —
+    keeping channels as separate 1-D arrays avoids every minor-dim-3
+    layout pad."""
+    w00 = (1 - fu) * (1 - fv)
+    w01 = fu * (1 - fv)
+    w10 = (1 - fu) * fv
+    w11 = fu * fv
+    out = []
+    c00 = _unpack_rgb10(rows[:, 0])
+    c01 = _unpack_rgb10(rows[:, 1])
+    c10 = _unpack_rgb10(rows[:, 2])
+    c11 = _unpack_rgb10(rows[:, 3])
+    for ch in range(3):
+        out.append(w00 * c00[ch] + w01 * c01[ch]
+                   + w10 * c10[ch] + w11 * c11[ch])
+    return out
 
 
 def _warp_views_impl(bd, bw, tables, r2s, pdx, pdy, intr):
     """Reproject every buffer entry into each source view and accumulate
     weighted bilinear colours (forward.cu:520-563).
 
-    bd, bw: (B, H, W) buffer-MAJOR depths / weights; tables: (S, Hs, Ws, 12)
-    packed 2x2 colour footprints; r2s: (S, 4, 4); pdx, pdy: (H, W) pixel
+    bd, bw: (B, H, W) buffer-MAJOR depths / weights; tables: (S, Hs, Ws, 4)
+    int32 rgb10-packed 2x2 colour footprints; r2s: (S, 4, 4); pdx, pdy: (H, W) pixel
     ray slopes; intr: (4,) [fx, fy, cx, cy].  Per-view loop: stacking the
     gathered rows into one (S,H,W,B,12) slab costs ~14 ms of layout copies
     at 960x544 (trace-measured).  Everything stays FLAT (BHW, k) through
@@ -180,13 +228,15 @@ def _warp_views_impl(bd, bw, tables, r2s, pdx, pdy, intr):
         w_eff = bw * inb.astype(bw.dtype)                   # (B,H,W)
         x0 = jnp.clip(jnp.floor(pu).astype(jnp.int32), 0, Ws - 1)
         y0 = jnp.clip(jnp.floor(pv).astype(jnp.int32), 0, Hs - 1)
-        rows = tables[s].reshape(Hs * Ws, 12)[
-            (y0 * Ws + x0).reshape(-1)]                     # (BHW, 12)
-        fu = (pu - jnp.floor(pu)).reshape(-1, 1)
-        fv = (pv - jnp.floor(pv)).reshape(-1, 1)
-        colf = _corner_mix(rows.astype(jnp.float32), fu, fv)  # (BHW, 3)
-        wsc.append((colf * w_eff.reshape(-1, 1)).reshape(
-            B, H * W, 3).sum(axis=0).reshape(H, W, 3))
+        rows = tables[s].reshape(Hs * Ws, 4)[
+            (y0 * Ws + x0).reshape(-1)]                     # (BHW, 4) int32
+        fu = (pu - jnp.floor(pu)).reshape(-1)
+        fv = (pv - jnp.floor(pv)).reshape(-1)
+        col = _corner_mix_rgb10(rows, fu, fv)               # 3 x (BHW,)
+        wf = w_eff.reshape(-1)
+        wsc.append(jnp.stack(
+            [(col[ch] * wf).reshape(B, H * W).sum(axis=0)
+             for ch in range(3)], axis=-1).reshape(H, W, 3))
         ws.append(w_eff.sum(axis=0))
         rows_all.append(rows)
     return jnp.stack(wsc, 0), jnp.stack(ws, 0), tuple(rows_all)
@@ -228,27 +278,41 @@ def _warp_views_bwd(res, cts):
         pu, pv, qx, qy, inv_z, inb = _proj_view(
             bd, r2s[s], pdx, pdy, intr, Hs, Ws)
         inbf = inb.astype(bw.dtype)
-        w_eff_f = (bw * inbf).reshape(-1, 1)                # (BHW,1)
-        fu = (pu - jnp.floor(pu)).reshape(-1, 1)
-        fv = (pv - jnp.floor(pv)).reshape(-1, 1)
-        rows = rows_all[s].astype(jnp.float32)              # (BHW,12)
-        col = _corner_mix(rows, fu, fv)                     # (BHW,3)
+        w_eff_f = (bw * inbf).reshape(-1)                   # (BHW,)
+        fu = (pu - jnp.floor(pu)).reshape(-1)
+        fv = (pv - jnp.floor(pv)).reshape(-1)
+        rows = rows_all[s]                                  # (BHW,4) int32
+        c00 = _unpack_rgb10(rows[:, 0])
+        c01 = _unpack_rgb10(rows[:, 1])
+        c10 = _unpack_rgb10(rows[:, 2])
+        c11 = _unpack_rgb10(rows[:, 3])
+        w00 = (1 - fu) * (1 - fv)
+        w01 = fu * (1 - fv)
+        w10 = (1 - fu) * fv
+        w11 = fu * fv
 
         # leading-axis broadcasts are tile-repeats, not transposes
-        gc = jnp.broadcast_to(g_wsc[s].reshape(1, H * W, 3),
-                              (B, H * W, 3)).reshape(-1, 3)
-        # d wsum = sum_b w_eff ; d wsum_color = sum_b col*w_eff
-        dw_eff = (col * gc).sum(-1, keepdims=True) + jnp.broadcast_to(
-            g_wsum[s].reshape(1, H * W), (B, H * W)).reshape(-1, 1)
-        dbw = dbw + (dw_eff * (inbf.reshape(-1, 1))).reshape(B, H, W)
+        def bcast(x):                                       # (H,W) -> (BHW,)
+            return jnp.broadcast_to(x.reshape(1, H * W),
+                                    (B, H * W)).reshape(-1)
 
-        dcol = w_eff_f * gc                                 # (BHW,3)
-        c00, c01 = rows[..., 0:3], rows[..., 3:6]
-        c10, c11 = rows[..., 6:9], rows[..., 9:12]
-        dI_du = (1 - fv) * (c01 - c00) + fv * (c11 - c10)
-        dI_dv = (1 - fu) * (c10 - c00) + fu * (c11 - c01)
-        du = (dcol * dI_du).sum(-1).reshape(B, H, W)
-        dv = (dcol * dI_dv).sum(-1).reshape(B, H, W)
+        # d wsum = sum_b w_eff ; d wsum_color = sum_b col*w_eff
+        dw_eff = bcast(g_wsum[s])
+        du = jnp.zeros_like(w_eff_f)
+        dv = jnp.zeros_like(w_eff_f)
+        for ch in range(3):
+            col_ch = (w00 * c00[ch] + w01 * c01[ch]
+                      + w10 * c10[ch] + w11 * c11[ch])
+            gc_ch = bcast(g_wsc[s][..., ch])
+            dw_eff = dw_eff + col_ch * gc_ch
+            dcol_ch = w_eff_f * gc_ch
+            dI_du = (1 - fv) * (c01[ch] - c00[ch]) + fv * (c11[ch] - c10[ch])
+            dI_dv = (1 - fu) * (c10[ch] - c00[ch]) + fu * (c11[ch] - c01[ch])
+            du = du + dcol_ch * dI_du
+            dv = dv + dcol_ch * dI_dv
+        dbw = dbw + (dw_eff * inbf.reshape(-1)).reshape(B, H, W)
+        du = du.reshape(B, H, W)
+        dv = dv.reshape(B, H, W)
 
         # projection Jacobian dp/d(depth): q = A.(pdx*d, pdy*d, d) + t, so
         # dq/dd = A.(pdx, pdy, 1) =: r  (reference backward.cu:738-757)
@@ -261,8 +325,10 @@ def _warp_views_bwd(res, cts):
         dbd = dbd + du * du_dbd + dv * dv_dbd
 
     # zero cotangents for the constant inputs (upstream stop_gradients
-    # drop them; XLA DCEs the broadcasts)
-    d_tables = jnp.zeros((S, Hs, Ws, 12), rows_all[0].dtype)
+    # drop them; XLA DCEs the broadcasts).  The int32 tables take a float0
+    # cotangent per the JAX integer-input convention.
+    import numpy as _np
+    d_tables = _np.zeros((S, Hs, Ws, 4), dtype=jax.dtypes.float0)
     return (dbd, dbw, d_tables, jnp.zeros_like(r2s), jnp.zeros_like(pdx),
             jnp.zeros_like(pdy), jnp.zeros_like(intr))
 
@@ -311,13 +377,15 @@ def ibr_epilogue(
     # 3x3 transforms stay elementwise — batched small matmuls are
     # pathological on the MXU.
     Ws = src.images.shape[2]
-    # NOTE: bf16 tables were measured SLOWER here (XLA flips the table
-    # layout from instance-minor {0,1} to row-major {1,0} for 2-byte
-    # types, doubling the per-row gather cost: 24.6 vs 12.9 ms/view at
-    # 960x544 on v5e) — the packed colour tables stay f32.
+    # Colour tables are rgb10 fixed point packed into int32 (lossless for
+    # 8-bit image content; the reference's textures are f32 uploads of the
+    # same 8-bit files).  One int32 per texel cuts the warp-gather row
+    # width 12->4 f32-equivalents; bf16 tables were measured SLOWER (XLA
+    # flips the table layout for 2-byte types, doubling per-row cost:
+    # 24.6 vs 12.9 ms/view at 960x544 on v5e).
     del mix_precision
     tables = jnp.stack(
-        [pack_bilinear_corners(images[s]).reshape(Hs, Ws, 12)
+        [pack_bilinear_corners_rgb10(images[s]).reshape(Hs, Ws, 4)
          for s in range(S)], axis=0)
     intr = jnp.stack([jnp.asarray(cam.fx, jnp.float32),
                       jnp.asarray(cam.fy, jnp.float32),

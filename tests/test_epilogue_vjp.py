@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ibgs_tpu.ops.epilogue import (_warp_views, _warp_views_impl,
-                                   pack_bilinear_corners)
+                                   bilinear_sample,
+                                   pack_bilinear_corners_rgb10)
 
 
 def _setup(seed=0, S=3, H=12, W=16, B=4, Hs=20, Ws=24):
@@ -17,7 +18,7 @@ def _setup(seed=0, S=3, H=12, W=16, B=4, Hs=20, Ws=24):
     bw = bw * (rng.random((B, H, W)) > 0.3)
     imgs = rng.random((S, Hs, Ws, 3)).astype(np.float32)
     tables = jnp.stack(
-        [pack_bilinear_corners(jnp.asarray(imgs[s])).reshape(Hs, Ws, 12)
+        [pack_bilinear_corners_rgb10(jnp.asarray(imgs[s])).reshape(Hs, Ws, 4)
          for s in range(S)], axis=0)
     r2s = np.tile(np.eye(4, dtype=np.float32)[None], (S, 1, 1))
     for s in range(S):
@@ -68,24 +69,43 @@ def test_warp_views_grads_match_autodiff():
                                rtol=2e-5, atol=2e-6)
 
 
-def test_warp_views_bf16_tables_close_to_f32():
-    args = _setup()
-    bd, bw, tables = args[0], args[1], args[2]
-    rest = args[3:]
-    c32, w32 = _warp_views(bd, bw, tables, *rest)
-    cbf, wbf = _warp_views(bd, bw, tables.astype(jnp.bfloat16), *rest)
-    # bf16 quantises the 8-bit-derived source colours by ~0.4%
-    np.testing.assert_allclose(np.asarray(cbf), np.asarray(c32),
-                               rtol=0, atol=2e-2)
-    np.testing.assert_allclose(np.asarray(wbf), np.asarray(w32),
-                               rtol=0, atol=1e-5)
+def test_warp_views_rgb10_close_to_exact_bilinear():
+    """The rgb10 fixed-point tables quantise each texel by <= 0.5/1023 —
+    the warp accumulation must match an exact-f32 bilinear re-derivation
+    to that tolerance (lossless for 8-bit image content)."""
+    S, H, W, B, Hs, Ws = 3, 12, 16, 4, 20, 24
+    args = _setup(S=S, H=H, W=W, B=B, Hs=Hs, Ws=Ws)
+    bd, bw, tables, r2s, gx, gy, intr = args
+    rng = np.random.default_rng(3)
+    imgs = rng.random((S, Hs, Ws, 3)).astype(np.float32)
+    tables = jnp.stack(
+        [pack_bilinear_corners_rgb10(jnp.asarray(imgs[s])).reshape(
+            Hs, Ws, 4) for s in range(S)], axis=0)
+    got_c, got_w = _warp_views(bd, bw, tables, r2s, gx, gy, intr)
 
-    def loss(fn_tables, bd, bw):
-        c, w = _warp_views(bd, bw, fn_tables, *rest)
-        return jnp.sum(c * c) + jnp.sum(w)
-
-    g32 = jax.grad(loss, argnums=(1, 2))(tables, bd, bw)
-    gbf = jax.grad(loss, argnums=(1, 2))(tables.astype(jnp.bfloat16), bd, bw)
-    for a, b in zip(gbf, g32):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=0, atol=8e-2)
+    # exact-f32 reference: project every buffer entry, bilinear-sample the
+    # unquantised image, weight-sum over B
+    fx, fy, cx, cy = (float(x) for x in intr)
+    exp_c = np.zeros((S, H, W, 3), np.float32)
+    exp_w = np.zeros((S, H, W), np.float32)
+    for s in range(S):
+        for b in range(B):
+            d = bd[b]
+            px, py, pz = gx * d, gy * d, d
+            q = jnp.einsum("ij,jhw->ihw",
+                           r2s[s, :3, :3], jnp.stack([px, py, pz])) \
+                + r2s[s, :3, 3][:, None, None]
+            pu = q[0] / (q[2] + 1e-8) * fx + cx
+            pv = q[1] / (q[2] + 1e-8) * fy + cy
+            inb = ((pu >= 0) & (pu <= Ws - 1.0)
+                   & (pv >= 0) & (pv <= Hs - 1.0))
+            w = np.asarray(bw[b]) * np.asarray(inb, np.float32)
+            col = np.asarray(bilinear_sample(jnp.asarray(imgs[s]), pu, pv))
+            exp_c[s] += col * w[..., None]
+            exp_w[s] += w
+    np.testing.assert_allclose(np.asarray(got_w), exp_w, rtol=1e-5,
+                               atol=1e-5)
+    # per-texel quantisation 0.5/1023, summed over B weighted entries
+    wmax = float(np.abs(exp_w).max())
+    np.testing.assert_allclose(np.asarray(got_c), exp_c, rtol=0,
+                               atol=(0.5 / 1023) * wmax + 1e-5)
