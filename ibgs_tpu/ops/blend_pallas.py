@@ -316,6 +316,16 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
     st = lax.while_loop(chunk_cond, chunk_body, st)
     (_c, T, _done, C3, N3, bd, bw, bcN, _bp, _bl, last) = st
 
+    # The saturation early-exit can leave the NEXT chunk's prefetch DMA in
+    # flight; an un-awaited DMA signals its semaphore into the following
+    # grid step, desynchronising that tile's double buffer (observed as
+    # async device aborts in forward-only programs: eval renders, the
+    # depth-cache rebuild, and the iter-1000 eval of a training run —
+    # always ~one fetch after the first saturating scene).  Drain it.
+    @pl.when(_c < nchunk)
+    def _():
+        dma(_c, _c % 2).wait()
+
     color_o[0] = C3
     normal_o[0] = N3
     t_o[0] = T

@@ -1,0 +1,123 @@
+"""Standalone blend-kernel micro-bench (TPU).
+
+Times the Pallas fwd and bwd blend kernels in isolation on a synthetic
+instance list shaped like the bench scene (1.37M instances over 60x34
+16x16 tiles), using the chained-fori_loop methodology from CLAUDE.md
+(data dependency through an input column; scalar D2H sync).
+
+Run: `python scripts/kernel_probe.py` (claims the TPU).
+Env: KP_INSTANCES, KP_ITERS.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def main():
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+    from ibgs_tpu.ops import blend_pallas as bp
+    from ibgs_tpu.ops.blend_common import BlendConfig
+
+    W, H = 960, 544
+    th = tw = 16
+    tiles_x, tiles_y = W // tw, H // th
+    num_tiles = tiles_x * tiles_y
+    n_inst = int(os.environ.get("KP_INSTANCES", 1_370_000))
+    iters = int(os.environ.get("KP_ITERS", 5))
+    cap = -(-n_inst // bp.CHUNK) * bp.CHUNK + bp.CHUNK
+
+    rng = np.random.default_rng(0)
+    # uniform split of instances over tiles, realistic splat stats
+    per = n_inst // num_tiles
+    start = (np.arange(num_tiles) * per).astype(np.int32)
+    stop = np.concatenate([start[1:], [n_inst]]).astype(np.int32)
+
+    feats = np.zeros((cap, bp.CF), np.float32)
+    tile_of = np.repeat(np.arange(num_tiles), per)
+    tile_of = np.concatenate(
+        [tile_of, np.full(n_inst - tile_of.size, num_tiles - 1)])
+    cx_t = (tile_of % tiles_x) * tw + tw / 2
+    cy_t = (tile_of // tiles_x) * th + th / 2
+    feats[:n_inst, bp.FX] = cx_t + rng.normal(0, 6, n_inst)
+    feats[:n_inst, bp.FY] = cy_t + rng.normal(0, 6, n_inst)
+    sig = rng.uniform(2.0, 8.0, n_inst)
+    feats[:n_inst, bp.FCA] = 1.0 / sig**2
+    feats[:n_inst, bp.FCC] = 1.0 / sig**2
+    feats[:n_inst, bp.FOP] = rng.uniform(0.02, 0.9, n_inst)
+    feats[:n_inst, bp.FR:bp.FB + 1] = rng.random((n_inst, 3))
+    feats[:n_inst, bp.FNX:bp.FNZ + 1] = np.array([0.0, 0.0, 1.0])
+    feats[:n_inst, bp.FD] = -rng.uniform(1.0, 5.0, n_inst)
+
+    cfg = BlendConfig(tile_h=th, tile_w=tw, buffer_len=4,
+                      render_geo=True, depth_only=False)
+    static = (cfg, tiles_x, tiles_y, cap, jax.default_backend() == "cpu")
+    scal = jnp.asarray([500.0, 500.0, W / 2, H / 2, 0.0], jnp.float32)
+    startj = jnp.asarray(start)
+    stopj = jnp.asarray(stop)
+    featsT = jnp.asarray(feats.T)          # (CF, cap)
+
+    def emit(name, **kw):
+        print(json.dumps({"probe": name, **kw}), flush=True)
+
+    emit("device", dev=str(jax.devices()[0]), n_inst=n_inst, cap=cap)
+
+    def timed(fn, label):
+        def chain(n, featsT):
+            def body(i, acc):
+                # perturb the PAD feature column so no iteration is CSE'd
+                f = featsT.at[bp.FPAD, 0].set(acc * 1e-30 + jnp.float32(i))
+                out = fn(f)
+                return acc + out
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        fit = jax.jit(chain, static_argnums=())
+        t0 = time.time()
+        jax.block_until_ready(fit(jnp.int32(1), featsT))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        jax.block_until_ready(fit(jnp.int32(1), featsT))
+        t1 = time.time() - t0
+        t0 = time.time()
+        jax.block_until_ready(fit(jnp.int32(iters + 1), featsT))
+        tn = time.time() - t0
+        ms = (tn - t1) / iters * 1e3
+        emit(label, ms=round(ms, 2), compile_s=round(compile_s, 1))
+        return ms
+
+    def fwd_only(f):
+        outs = bp._blend_core(static, f, startj, stopj, scal)
+        return outs[0].sum() + outs[2].sum() + outs[4].sum()
+
+    def fwd_bwd(f):
+        def loss(f):
+            outs = bp._blend_core(static, f, startj, stopj, scal)
+            return (outs[0].sum() + outs[2].sum() + outs[4].sum()
+                    + outs[5].sum() + (outs[1].sum() if cfg.render_geo
+                                       else 0.0))
+        v, g = jax.value_and_grad(loss)(f)
+        return v + g.sum() * 1e-20
+
+    timed(fwd_only, "blend_fwd")
+    timed(fwd_bwd, "blend_fwd_bwd")
+    emit("done")
+
+
+if __name__ == "__main__":
+    main()
