@@ -87,6 +87,11 @@ def main():
     )
     gt = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
 
+    # BENCH_MODE=render measures the forward-only serving path (the
+    # reference's FPS benchmark analog, render.py:126-155); default is the
+    # training-step fwd+bwd throughput.
+    mode = os.environ.get("BENCH_MODE", "train")
+
     def loss_fn(params, src, gt):
         m = model.replace(params=params)
         res, _ = render_view(m, cam, cfg, jnp.zeros(3), src=src,
@@ -99,6 +104,13 @@ def main():
         p.replace(xyz=p.xyz + e), src, gt), argnums=0)
 
     def gnorm(params, eps, src, gt):
+        if mode == "render":
+            m = model.replace(params=params.replace(
+                xyz=params.xyz + eps))
+            res, _ = render_view(m, cam, cfg, jnp.zeros(3), src=src,
+                                 render_geo=True, return_depth_normal=False)
+            return (res.render.sum() + res.median_depth.sum()
+                    + res.ibr.warped_image.sum())
         g = grad_fn(params, eps, src, gt)
         return sum(jnp.sum(x * x) for x in jax.tree.leaves(g))
 
@@ -138,9 +150,10 @@ def main():
     # published numbers exist (BASELINE.md), so vs_baseline is against that
     # estimate.
     baseline = 6.0e6
+    kind = "render-only" if mode == "render" else "fwd+bwd"
     print(json.dumps({
-        "metric": "fwd+bwd pixels/s/chip (IBGS geo render, %dx%d, %dk splats)"
-                  % (W, H, n // 1000),
+        "metric": "%s pixels/s/chip (IBGS geo render, %dx%d, %dk splats)"
+                  % (kind, W, H, n // 1000),
         "value": round(pix_per_s, 1),
         "unit": "pixels/s",
         "vs_baseline": round(pix_per_s / baseline, 4),
