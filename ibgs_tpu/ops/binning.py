@@ -212,14 +212,18 @@ def _pack_rows_bwd(res, g):
     # sorted-position cotangents → pre-sort slot order.  Applying the
     # permutation as a random row gather costs 56 ms at cap=2M on v5e
     # (latency-bound); a radix SORT keyed by the slot moves the same rows
-    # in sequential passes at 3.7 ms per 4 payload columns.  Four
-    # identical-shaped 5-operand sorts compile once (~16 s) — a 17-operand
-    # sort would run in one pass but costs 214 s of XLA compile.
+    # in sequential passes.  XLA's sort-merger fuses same-key sorts into
+    # ONE multi-operand sort whose compile time is superlinear in operand
+    # count (17 ops ≈ 214 s); alternating the key dtype (int32 / its f32
+    # bitcast — non-negative ints below 2^31 order identically as floats)
+    # caps the merge at two 9-operand sorts.
     C = g.shape[1]
+    slot_f = lax.bitcast_convert_type(bins.slot, jnp.float32)
     cols = []
-    for k in range(0, C, 4):
+    for i, k in enumerate(range(0, C, 4)):
         pay = tuple(g[:, k + j] for j in range(min(4, C - k)))
-        cols.extend(lax.sort((bins.slot,) + pay, num_keys=1)[1:])
+        key = bins.slot if i % 2 == 0 else slot_f
+        cols.extend(lax.sort((key,) + pay, num_keys=1)[1:])
     g_pre = jnp.stack(cols, axis=1)
     cums = jnp.cumsum(g_pre, axis=0)
     cums = jnp.concatenate([jnp.zeros((1, g.shape[1]), g.dtype), cums], axis=0)
