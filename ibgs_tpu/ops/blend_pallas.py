@@ -358,10 +358,10 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
     dLt = dLt_i[0]                                  # (1, NPIX)
     Tf = t_s[0]
     ncontrib = nc_s[0]
-    TOTc = jnp.sum(color_s[0] * dLc, axis=0, keepdims=True)
+    TOTcn = jnp.sum(color_s[0] * dLc, axis=0, keepdims=True)
     if geo:
         dLn = dLn_i[0]
-        TOTn = jnp.sum(normal_s[0] * dLn, axis=0, keepdims=True)
+        TOTcn = TOTcn + jnp.sum(normal_s[0] * dLn, axis=0, keepdims=True)
         bcN = bcN_s[0]                              # (B, NPIX) int32
         gS = dLbw_i[0] * bw_s[0]                    # (B, NPIX)
         dLbd = dLbd_i[0]
@@ -411,7 +411,7 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
         fv[:, :] = jnp.transpose(fv2[slot], (1, 0))   # (CHUNK, CF)
 
         def sub(si, sst):
-            (T, Pc, Pn, Qle) = sst
+            (T, Pc, Qle) = sst
             j = si * KI
             col, dx, dy, g, raw, alpha, ok = _alpha_terms(fv, j, px, py)
             gidx = s + j + _sub_iota(KI, NP)
@@ -427,19 +427,22 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
 
             cdl = (col(FR) * dLc[0:1] + col(FG) * dLc[1:2]
                    + col(FB) * dLc[2:3])
-            wc = w * cdl
-            suff_c = TOTc - (Pc + _cumsum_sub(wc))
-            dLa = cdl * Ti - suff_c / om_a + dLt * (-Tf / om_a)
-            Pc = Pc + jnp.sum(wc, axis=0, keepdims=True)
-
+            # the colour and normal suffix terms only ever enter dLa as a
+            # SUM: one combined scan + one combined prefix carry replaces
+            # two (the 7-step sublane scan is the substep's priciest block)
             if geo:
                 ndl = (col(FNX) * dLn[0:1] + col(FNY) * dLn[1:2]
                        + col(FNZ) * dLn[2:3])
-                wn = w * ndl
-                suff_n = TOTn - (Pn + _cumsum_sub(wn))
-                dLa = dLa + ndl * Ti - suff_n / om_a
-                Pn = Pn + jnp.sum(wn, axis=0, keepdims=True)
+                cndl = cdl + ndl
+            else:
+                ndl = None
+                cndl = cdl
+            wc = w * cndl
+            suff_c = TOTcn - (Pc + _cumsum_sub(wc))
+            dLa = cndl * Ti - suff_c / om_a + dLt * (-Tf / om_a)
+            Pc = Pc + jnp.sum(wc, axis=0, keepdims=True)
 
+            if geo:
                 pmin = s + j - start + 1
                 hit = (bcN >= pmin) & (bcN <= pmin + (KI - 1))
                 # default: no buffer slot touches this substep (common)
@@ -500,7 +503,7 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
             gv[pl.ds(j, KI), :] = grow
 
             T = T * _last_row(cum)
-            return (T, Pc, Pn, Qle)
+            return (T, Pc, Qle)
 
         sst = lax.fori_loop(0, CHUNK // KI, sub, st)
         rd.wait()
@@ -511,7 +514,7 @@ def _bwd_kernel(cfg: BlendConfig, tiles_x: int,
     z1 = jnp.zeros((1, NP), jnp.float32)
     lax.fori_loop(0, nchunk,
                   chunk_body,
-                  (jnp.ones((1, NP), jnp.float32), z1, z1, z1))
+                  (jnp.ones((1, NP), jnp.float32), z1, z1))
 
     # drain the write pipeline before the next tile may RMW these regions
     @pl.when(nchunk >= 1)
