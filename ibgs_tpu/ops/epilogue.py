@@ -146,12 +146,6 @@ def _proj_view(bd, r2s_s, pdx, pdy, intr, Hs, Ws):
     return pu, pv, qx, qy, inv_z, inb
 
 
-def _bilerp_weights(pu, pv):
-    fu = (pu - jnp.floor(pu))[..., None]
-    fv = (pv - jnp.floor(pv))[..., None]
-    return fu, fv
-
-
 RGB10_SCALE = 1023.0
 
 
