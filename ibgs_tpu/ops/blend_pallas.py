@@ -152,7 +152,7 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
                 start_ref, stop_ref, scal_ref,
                 feats_hbm,
                 color_o, normal_o, t_o, nc_o, bd_o, bw_o, bcN_o,
-                fv2, fv, selR, tnR, bdR, bwR, bcR, sem2):
+                fv2, fv, selR, tnR, bdR, bwR, bcR, incR, sem2):
     B = cfg.buffer_len
     NP = cfg.tile_h * cfg.tile_w
     t = pl.program_id(0)
@@ -218,7 +218,73 @@ def _fwd_kernel(cfg: BlendConfig, tiles_x: int,
             contrib = selR[:, :] > 0.0
             T_next = tnR[:, :]
 
-            if geo:
+            if geo and not cfg.depth_only:
+                # During the post-median alpha tail NO buffer pushes are
+                # possible (before-entries need Ti > 0.5 which only
+                # decreases; below-entries need a free slot), so the depth
+                # math, rank scan and scatter are all gated out — the tail
+                # from T=0.5 down to the 1e-4 stop is the long part of a
+                # tile's instance range.
+                a_t = jnp.where(contrib, alpha * Ti, 0.0)
+                bdR[:, :] = bd
+                bwR[:, :] = bw
+                bcR[:, :] = bcN
+                incR[:, :] = jnp.zeros((2, NP), jnp.int32)
+                can_push = (jnp.max(Ti) > 0.5) | (
+                    jnp.min(blw) < cfg.below_cap)
+
+                @pl.when(can_push)
+                def _():
+                    depth_i, _den = _plane_depth(col, rayx, rayy)
+                    hd = contrib & (depth_i > 0.0)
+                    pb = hd & (Ti > 0.5)
+                    cand = hd & (Ti <= 0.5)
+                    pbf = pb.astype(jnp.float32)
+                    cdf = cand.astype(jnp.float32)
+                    # both buffer ranks from ONE packed scan: counts <= KI
+                    # < 1024 so nb + 1024*nl stays integer-exact in f32
+                    # (< 2^24) and a power-of-two scale/floor splits it back
+                    comb = _cumsum_sub(pbf + 1024.0 * cdf)
+                    nl = jnp.floor(comb * (1.0 / 1024.0))
+                    nb = comb - 1024.0 * nl
+                    rank_b = bptr + (nb - pbf).astype(jnp.int32)
+                    rank_l = blw + (nl - cdf).astype(jnp.int32)
+                    pl_ok = cand & (rank_l < cfg.below_cap)
+                    push = pb | pl_ok
+                    incR[0:1, :] = jnp.sum(pb.astype(jnp.int32), axis=0,
+                                           keepdims=True)
+                    incR[1:2, :] = jnp.sum(pl_ok.astype(jnp.int32), axis=0,
+                                           keepdims=True)
+
+                    # buffer scatter: last-writer-wins per slot, skipped
+                    # when this substep pushes nothing
+                    @pl.when(jnp.max(push.astype(jnp.float32)) > 0.0)
+                    def _():
+                        slot = jnp.where(pb, rank_b % cfg.before_cap,
+                                         cfg.before_cap + rank_l)
+                        slotB = lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
+                        eq = (slot[None] == slotB) & push[None]  # (B,KI,NPIX)
+                        idxm = jnp.where(eq, _sub_iota(KI, NP)[None], -1)
+                        win = jnp.max(idxm, axis=1)              # (B, NPIX)
+                        oh = ((idxm == win[:, None, :]) & eq).astype(
+                            jnp.float32)
+                        has = win >= 0
+                        bdR[:, :] = jnp.where(
+                            has, jnp.sum(depth_i[None] * oh, axis=1), bd)
+                        bwR[:, :] = jnp.where(
+                            has, jnp.sum(a_t[None] * oh, axis=1), bw)
+                        bcR[:, :] = jnp.where(
+                            has,
+                            jnp.sum(pos[None].astype(jnp.float32) * oh,
+                                    axis=1).astype(jnp.int32),
+                            bcN)
+
+                bd = bdR[:, :]
+                bw = bwR[:, :]
+                bcN = bcR[:, :]
+                bptr = bptr + incR[0:1, :]
+                blw = blw + incR[1:2, :]
+            elif geo:
                 depth_i, _den = _plane_depth(col, rayx, rayy)
                 hd = contrib & (depth_i > 0.0)
                 pb = hd & (Ti > 0.5)
@@ -554,6 +620,7 @@ def _fwd_call(static, feats, tile_start, tile_stop, scal):
                         pltpu.VMEM((B, NP), jnp.float32),
                         pltpu.VMEM((B, NP), jnp.float32),
                         pltpu.VMEM((B, NP), jnp.int32),
+                        pltpu.VMEM((2, NP), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     f32, i32 = jnp.float32, jnp.int32
