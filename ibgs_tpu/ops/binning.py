@@ -20,7 +20,8 @@ per-instance random access entirely:
      preserves the reference's (tile, depth, gaussian-id) tie order.
      Validity needs no payload slot (padding sorts to the end as
      tile == num_tiles).
-  4. Tile ranges come from boundary scatters + a reverse-cummin backfill.
+  4. Tile ranges come from a vectorized binary search over the sorted
+     tile ids (tile_ranges_from_sorted).
 
 Limits (asserted): cap < 2^31 instances, num_tiles < 2^31.
 

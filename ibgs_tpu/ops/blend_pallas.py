@@ -2,18 +2,21 @@
 
 TPU-first design (NOT a translation of the CUDA kernels):
 
-  * Tiles are 8x16 = 128 pixels — one vector-lane row.  Per step the kernel
-    processes KI=32 depth-ordered instances *simultaneously* as the sublane
-    axis of (32, 128) vregs: the serial CUDA loop becomes masked prefix
-    products (transmittance), prefix sums (buffer ranks) and slot-vectorised
-    "last-writer-wins" selections for the median buffer.
-  * Instance attributes are packed as one (cap_pad, 16) f32 array in HBM and
-    DMA'd per 256-instance chunk into VMEM; tile ranges arrive via scalar
-    prefetch.  The chunk loop early-exits once every pixel saturates.
-  * The median-buffer scatter (the most expensive part of the geo path) is
-    sized to the *actual* buffer_len (not the compiled max of 8) and skipped
-    entirely via pl.when once a substep pushes no entries — after the below
-    buffer fills, the long low-alpha tail pays nothing for it.
+  * Tiles default to 16x16 = 256 pixels (reference BLOCK_X/BLOCK_Y) on the
+    vector-lane axis.  Per step the kernel processes KI=128 depth-ordered
+    instances *simultaneously* as the sublane axis of (128, 256) vregs: the
+    serial CUDA loop becomes masked prefix products (transmittance), prefix
+    sums (buffer ranks) and slot-vectorised "last-writer-wins" selections
+    for the median buffer.
+  * Instance attributes are packed as one (16, cap_pad) f32 array in HBM and
+    DMA'd per CHUNK-instance slab into VMEM (double-buffered); tile ranges
+    arrive via scalar prefetch.  The chunk loop early-exits once every pixel
+    saturates, draining any in-flight prefetch (an un-awaited DMA desyncs
+    the next grid step's semaphores — async device abort).
+  * The whole median-buffer block (plane depth, rank scan, scatter) is
+    sized to the *actual* buffer_len (not the compiled max of 8) and gated
+    behind a pushes-still-possible test — during the long post-median alpha
+    tail (T<0.5 everywhere, below buffer full) it costs nothing.
   * The backward kernel re-walks the instances FORWARD (no T-division like
     reference backward.cu:653): the suffix sums of the alpha recursion are
     `total - inclusive_prefix`, with the totals recovered from the saved
