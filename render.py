@@ -23,6 +23,9 @@ def main(argv=None):
                         help="TSDF-fuse depths and extract a mesh")
     parser.add_argument("--voxel_size", type=float, default=0.01)
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--synthetic_spec", nargs=5, type=int,
+                        default=[12, 64, 64, 1200, 400],
+                        metavar=("VIEWS", "W", "H", "N_GT", "N_SEED"))
     parser.add_argument("--measure_fps", action="store_true", default=True)
     parser.add_argument("--use_depth_filter", action="store_true",
                         help="zero grazing-angle depths before TSDF fusion")
@@ -47,7 +50,10 @@ def main(argv=None):
 
     if getattr(args, "synthetic", False):
         from ibgs_tpu.data.synthetic import make_synthetic_scene
-        scene = make_synthetic_scene()
+        v, w, h, ngt, nseed = args.synthetic_spec
+        scene = make_synthetic_scene(n_views=v, width=w, height=h,
+                                     n_gt=ngt, n_seed=nseed,
+                                     eval_every=max(v // 2, 2))
     else:
         from ibgs_tpu.data.dataset import load_scene
         scene = load_scene(

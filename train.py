@@ -27,6 +27,10 @@ def main(argv=None):
                         help="serve the SIBR network viewer on this port")
     parser.add_argument("--synthetic", action="store_true",
                         help="train on the built-in synthetic scene")
+    parser.add_argument("--synthetic_spec", nargs=5, type=int,
+                        default=[12, 64, 64, 1200, 400],
+                        metavar=("VIEWS", "W", "H", "N_GT", "N_SEED"),
+                        help="synthetic scene shape (with --synthetic)")
     args = parser.parse_args(argv)
 
     mp = C.extract(args, C.ModelParams)
@@ -42,7 +46,10 @@ def main(argv=None):
 
     if args.synthetic:
         from ibgs_tpu.data.synthetic import make_synthetic_scene
-        scene = make_synthetic_scene()
+        v, w, h, ngt, nseed = args.synthetic_spec
+        scene = make_synthetic_scene(n_views=v, width=w, height=h,
+                                     n_gt=ngt, n_seed=nseed,
+                                     eval_every=max(v // 2, 2))
     else:
         from ibgs_tpu.data.dataset import load_scene
         scene = load_scene(
