@@ -215,15 +215,19 @@ def _pack_rows_bwd(res, g):
     # (latency-bound); a radix SORT keyed by the slot moves the same rows
     # in sequential passes.  XLA's sort-merger fuses same-key sorts into
     # ONE multi-operand sort whose compile time is superlinear in operand
-    # count (17 ops ≈ 214 s); alternating the key dtype (int32 / its f32
-    # bitcast — non-negative ints below 2^31 order identically as floats)
-    # caps the merge at two 9-operand sorts.
+    # count (17 ops ≈ 214 s); alternating between the slot and slot+1 as
+    # the key (distinct arrays the merger cannot unify, identical order —
+    # slot < cap < 2^31-1 so +1 never overflows) caps the merge at two
+    # 9-operand sorts.  (A bitcast-to-f32 key does NOT work: slots below
+    # 2^23 bitcast to denormals, which XLA's sort comparator flushes to
+    # equal — the sort silently degrades to the identity permutation and
+    # those gradient columns come back unrouted.)
     C = g.shape[1]
-    slot_f = lax.bitcast_convert_type(bins.slot, jnp.float32)
+    slot_p1 = bins.slot + 1
     cols = []
     for i, k in enumerate(range(0, C, 4)):
         pay = tuple(g[:, k + j] for j in range(min(4, C - k)))
-        key = bins.slot if i % 2 == 0 else slot_f
+        key = bins.slot if i % 2 == 0 else slot_p1
         cols.extend(lax.sort((key,) + pay, num_keys=1)[1:])
     g_pre = jnp.stack(cols, axis=1)
     cums = jnp.cumsum(g_pre, axis=0)

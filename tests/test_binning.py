@@ -64,3 +64,30 @@ def test_cummax_matches_associative_scan():
         ref = lax.associative_scan(jnp.maximum, x)
         got = cummax_i32(x, block=4096)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pack_rows_vjp_matches_autodiff():
+    """The hand-written pack_rows backward (slot-keyed payload sorts +
+    segment sums) must equal plain autodiff of the gather for EVERY
+    column.  Regression: a bitcast-f32 alternate sort key sent slots
+    below 2^23 to denormals, which XLA's sort comparator flushes to
+    equal — the odd groups of 4 gradient columns came back unrouted
+    (identity permutation) while the even groups were correct."""
+    sp, tx, ty = _splats(n=40, seed=3)
+    bins = binning.bin_splats(sp, tx, ty, 2048, with_gauss_id=False)
+    P, C = 40, 15  # C spans both alternate-key sort groups
+    feats = jax.random.normal(jax.random.PRNGKey(7), (P, C))
+    ct = jax.random.normal(jax.random.PRNGKey(8), (2048, C))
+
+    def via_custom(f):
+        return (binning.pack_rows(f, bins) * ct).sum()
+
+    def via_plain(f):
+        out = f[bins.order][bins.rank]
+        out = jnp.where(bins.inst_valid[:, None], out, 0.0)
+        return (out * ct).sum()
+
+    g1 = jax.grad(via_custom)(feats)
+    g2 = jax.grad(via_plain)(feats)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
