@@ -58,10 +58,11 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     # Static sizes mirror what a converged training run settles at: the
     # capacity-growth policy keeps ~1.3x headroom over alive splats, and the
-    # instance cap grows to ~1.2x the observed instance count (1.37M at this
-    # scene/tiling).  Round sizes (not pow2) keep every P-/cap-sized sort,
-    # scan and gather snug — padding rows cost exactly like real ones.
-    cap = int(os.environ.get("BENCH_CAP", 1_638_400))
+    # instance cap grows to ~1.2x the observed instance count (927k at this
+    # scene/tiling with the per-axis ellipse-AABB rects).  Round sizes (not
+    # pow2) keep every P-/cap-sized sort, scan and gather snug — padding
+    # rows cost exactly like real ones.
+    cap = int(os.environ.get("BENCH_CAP", 1_113_600))
     capacity = int(os.environ.get("BENCH_CAPACITY", 131_072))
 
     rng = np.random.default_rng(0)

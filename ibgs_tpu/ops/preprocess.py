@@ -180,27 +180,54 @@ def preprocess(
     lam_max = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lam_max))
 
-    # Opacity-aware tile rectangle: pixels beyond r_cut = sigma*sqrt(2*ln(255*op))
-    # have alpha < 1/255 and are skipped by the blend anyway, so a tighter
-    # rect is lossless (big instance-count win after opacity resets).  The
-    # reported radius stays at the reference's 3*sigma so densification
-    # statistics keep reference semantics.
+    # Opacity-aware per-axis tile rectangle (ellipse AABB).  Pixels with
+    # alpha >= 1/255 satisfy d^T Sigma^-1 d <= cutoff^2, and the marginal-
+    # variance bound d^T Sigma^-1 d >= dx^2/Sigma_xx gives exact AABB
+    # half-extents tr = cutoff*sqrt(Sigma_xx/yy) for the contributing
+    # strip — everything outside has alpha < 1/255 and is skipped by the
+    # blend's ok-gate anyway.  Each axis takes the INTERSECTION of
+    #   (a) the reference rect from the isotropic min(3,cutoff)*sigma_max
+    #       radius with the reference's own (m + r + tw - 1)/tw truncated
+    #       arithmetic (forward.cu getRect), and
+    #   (b) the exact tile cover [floor((m-tr)/tw), floor((m+tr)/tw)] of
+    #       the alpha >= 1/255 strip,
+    # so the new rect is a subset of the reference rect that still covers
+    # every contributing pixel the reference rect covered — outputs and
+    # gradients are preserved while anisotropic / low-opacity splats bin
+    # far fewer instances (~30% on the bench scene).  (The cover (b) is
+    # computed with floor, not the +tw-1 trick: floor((z+tw-1)/tw) ==
+    # ceil(z/tw) only holds for INTEGER z, and for fractional m + r it
+    # under-covers the boundary tile.)  The reported radius stays at the
+    # reference's 3*sigma so densification statistics keep reference
+    # semantics.
     cutoff = jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacity, 1.000001)))
     rect_radius = jnp.ceil(jnp.minimum(3.0, cutoff) * jnp.sqrt(lam_max))
+    tr_x = cutoff * jnp.sqrt(a)
+    tr_y = cutoff * jnp.sqrt(c)
 
     radius_f = lax.stop_gradient(radius_f)
     rect_radius = lax.stop_gradient(rect_radius)
+    tr_x = lax.stop_gradient(tr_x)
+    tr_y = lax.stop_gradient(tr_y)
     m2d = lax.stop_gradient(mean2d)
-    rect_min = jnp.stack(
-        [jnp.clip(((m2d[:, 0] - rect_radius) / tile_w).astype(jnp.int32), 0, tiles_x),
-         jnp.clip(((m2d[:, 1] - rect_radius) / tile_h).astype(jnp.int32), 0, tiles_y)],
-        axis=-1,
-    )
-    rect_max = jnp.stack(
-        [jnp.clip(((m2d[:, 0] + rect_radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, tiles_x),
-         jnp.clip(((m2d[:, 1] + rect_radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, tiles_y)],
-        axis=-1,
-    )
+
+    def _lo(m, tr, tile, n):
+        old = (m - rect_radius) / tile
+        return jnp.clip(jnp.maximum(old.astype(jnp.int32),
+                                    jnp.floor((m - tr) / tile).astype(jnp.int32)),
+                        0, n)
+
+    def _hi(m, tr, tile, n):
+        old = (m + rect_radius + tile - 1) / tile
+        return jnp.clip(jnp.minimum(old.astype(jnp.int32),
+                                    jnp.floor((m + tr) / tile).astype(jnp.int32) + 1),
+                        0, n)
+
+    rect_min = jnp.stack([_lo(m2d[:, 0], tr_x, tile_w, tiles_x),
+                          _lo(m2d[:, 1], tr_y, tile_h, tiles_y)], axis=-1)
+    rect_max = jnp.stack([_hi(m2d[:, 0], tr_x, tile_w, tiles_x),
+                          _hi(m2d[:, 1], tr_y, tile_h, tiles_y)], axis=-1)
+    rect_max = jnp.maximum(rect_max, rect_min)
     n_tiles = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
 
     valid = in_front & det_ok & (n_tiles > 0) & (opacity > 1.0 / 255.0)

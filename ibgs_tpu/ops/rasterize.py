@@ -199,10 +199,12 @@ def rasterize(
          sp.rgb[:, 0], sp.rgb[:, 1], sp.rgb[:, 2],
          sp.plane_normal[:, 0], sp.plane_normal[:, 1], sp.plane_normal[:, 2],
          sp.plane_dist,
-         screen_dummy_abs[:, 0], screen_dummy_abs[:, 1],
-         jnp.zeros((P,), jnp.float32)],
+         screen_dummy_abs[:, 0], screen_dummy_abs[:, 1]],
         axis=1,
     )
+    # 15 columns, not CF=16: blend_packed zero-pads the kernel's 16th
+    # channel itself, so the cap-sized pack gather and the slot-keyed
+    # pack-bwd sorts never move the dead pad column.
     # pack_rows: one per-instance row gather fwd + gather/cumsum segment-sum
     # bwd (replaces XLA's cap-sized scatter-add transpose); zeroes invalid
     # rows (clipped gather indices can land on dead Gaussians whose

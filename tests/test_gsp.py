@@ -87,10 +87,17 @@ def test_gsp_train_step_matches_replicated():
     m2, l2 = rstep(model, ca, gts, srcs, jnp.int32(1))
     assert int(ovf) == 0
     assert abs(float(l1) - float(l2)) < 1e-5, (float(l1), float(l2))
+    # Adam at step 1 normalises: update ~ lr * g / (|g| + eps), so f32
+    # summation-order noise on a NEAR-ZERO gradient element (the all_to_all
+    # reorders the instance reduction) flips that element's whole +-lr step.
+    # The per-element bound is therefore 2*lr (position_lr 1.6e-4, normal_lr
+    # 1e-3 — the observed violations sit exactly at 2*lr), not a uniform
+    # tight tolerance; the 1e-5 loss match above carries the exactness
+    # claim for the forward + reduction path.
     np.testing.assert_allclose(np.asarray(m1.params.xyz),
-                               np.asarray(m2.params.xyz), atol=2e-5)
+                               np.asarray(m2.params.xyz), atol=4e-4)
     np.testing.assert_allclose(np.asarray(m1.params.normal),
-                               np.asarray(m2.params.normal), atol=2e-5)
+                               np.asarray(m2.params.normal), atol=2.5e-3)
     # a few more steps stay finite and improve
     m, l0 = m1, l1
     for i in range(2, 6):

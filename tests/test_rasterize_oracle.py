@@ -176,7 +176,7 @@ def test_finite_difference_opacity():
     params = face_camera(random_cloud(jax.random.PRNGKey(5), 8), cam)
     target = jnp.zeros((24, 24, 3))
 
-    def loss(op):
+    def loss_ninst(op):
         res = rasterize(
             xyz=params["xyz"], scale=params["scale"], quat=params["quat"],
             opacity=op, sh_coeffs=params["sh_coeffs"], active_sh_degree=0,
@@ -184,11 +184,27 @@ def test_finite_difference_opacity():
             plane_offset=params["plane_offset"], cam=cam,
             bg=jnp.zeros(3), cfg=CFG, render_geo=False,
         )
-        return ((res.render - target) ** 2).sum()
+        return ((res.render - target) ** 2).sum(), res.n_instances
+
+    def loss(op):
+        return loss_ninst(op)[0]
 
     g = jax.grad(loss)(params["opacity"])
     eps = 1e-3
-    for i in range(3):
+    checked = 0
+    for i in range(8):
         e = jnp.zeros_like(params["opacity"]).at[i].set(eps)
-        fd = (loss(params["opacity"] + e) - loss(params["opacity"] - e)) / (2 * eps)
+        lp, np_p = loss_ninst(params["opacity"] + e)
+        lm, np_m = loss_ninst(params["opacity"] - e)
+        if int(np_p) != int(np_m):
+            # The opacity-aware tile rect (preprocess.py) makes binning a
+            # step function of opacity: at a flip the loss is continuous
+            # but has an O(ALPHA_MIN) kink, so central differences are
+            # invalid there.  Skip non-differentiable sample points.
+            continue
+        fd = (lp - lm) / (2 * eps)
         np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=2e-4)
+        checked += 1
+        if checked == 3:
+            break
+    assert checked >= 2, "too many rect-flip indices; pick another seed"
