@@ -100,7 +100,22 @@ class TileBins:
 
 
 def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
-               with_gauss_id: bool = True) -> TileBins:
+               with_gauss_id: bool = True,
+               cull_tab: jnp.ndarray | None = None,
+               tile_h: int = 16, tile_w: int = 16) -> TileBins:
+    """With `cull_tab` (P, 6) f32 [mean_x, mean_y_band, conic_a, conic_b,
+    conic_c, ln(255*opacity)], instances whose Mahalanobis power exceeds
+    the 1/255 alpha threshold over the ENTIRE tile are retagged as padding
+    (tile = num_tiles).  The blend kernel's per-pixel ok-gate
+    (alpha >= 1/255, blend_pallas._alpha_terms) would skip every pixel of
+    such an instance anyway, so outputs and gradients are unchanged while
+    the per-tile instance ranges — and with them the sequential blend
+    walk — shrink (~20-30%% beyond the per-axis ellipse AABB, which keeps
+    corner tiles the ellipse never reaches).  The test is the exact min of
+    the convex quadratic q(d) = 0.5(A dx^2 + C dy^2) + B dx dy over the
+    tile's continuous pixel rectangle (interior if the mean is inside,
+    else the best of the four clamped edge minimisers) — a lower bound on
+    q at any pixel centre, so the cull is conservative."""
     assert cap < MAX_CAP and tiles_x * tiles_y < MAX_CAP
     num_tiles = tiles_x * tiles_y
     P = sp.depth.shape[0]
@@ -113,12 +128,18 @@ def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
     # ONE packed P-row gather for every per-Gaussian field needed in rank
     # order — four separate 1-column gathers by `order` cost ~10 ms each
     # at P=512k on v5e, the packed row gather ~3 ms total.
-    pre = jnp.stack(
+    pre_cols = jnp.stack(
         [sp.rect_min[:, 0].astype(jnp.int32),
          sp.rect_min[:, 1].astype(jnp.int32),
          jnp.maximum((sp.rect_max[:, 0] - sp.rect_min[:, 0]).astype(
              jnp.int32), 1),
-         n_tiles], axis=1)[order]                      # (P, 4) rank order
+         n_tiles], axis=1)
+    if cull_tab is not None:
+        pre_cols = jnp.concatenate(
+            [pre_cols,
+             lax.bitcast_convert_type(lax.stop_gradient(cull_tab),
+                                      jnp.int32)], axis=1)
+    pre = pre_cols[order]                              # (P, 4|10) rank order
     cnt = pre[:, 3]
     offsets = jnp.cumsum(cnt) - cnt                    # exclusive prefix
     total = offsets[-1] + cnt[-1]
@@ -144,7 +165,10 @@ def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
     # is exactly 2^31-1); 16x16 tiles => images up to 16384x32768 px
     assert tiles_x < (1 << 10) and tiles_y < (1 << 11)
     packed_rect = (pre[:, 0] << 21) | (pre[:, 1] << 10) | pre[:, 2]
-    tab = jnp.stack([packed_rect, offsets], axis=1)
+    tab_cols = [packed_rect, offsets]
+    if cull_tab is not None:
+        tab_cols += [pre[:, 4 + i] for i in range(6)]
+    tab = jnp.stack(tab_cols, axis=1)
     rows = tab[rank]
     pr = rows[:, 0]
     rx, ry, rw = pr >> 21, (pr >> 10) & ((1 << 11) - 1), pr & ((1 << 10) - 1)
@@ -156,6 +180,38 @@ def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
     tx = rx + local % rw
     ty = ry + local // rw
     tile = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles)
+
+    if cull_tab is not None:
+        cf = lax.bitcast_convert_type(rows[:, 2:8], jnp.float32)
+        mx, my = cf[:, 0], cf[:, 1]
+        ca, cb, cc, thr = cf[:, 2], cf[:, 3], cf[:, 4], cf[:, 5]
+        # pixel offsets from the mean over this tile's pixel rectangle
+        # (pixel centres at integer coords tx*tw .. tx*tw+tw-1, band-local
+        # y like the kernel's _pixel_coords minus its row0 shift)
+        u_lo = (tx * tile_w).astype(jnp.float32) - mx
+        u_hi = u_lo + (tile_w - 1)
+        v_lo = (ty * tile_h).astype(jnp.float32) - my
+        v_hi = v_lo + (tile_h - 1)
+        inside = (u_lo <= 0.0) & (u_hi >= 0.0) & (v_lo <= 0.0) & (v_hi >= 0.0)
+
+        def _qu(ue):  # min over the edge u = ue, v in [v_lo, v_hi]
+            vs = jnp.clip(-cb * ue / cc, v_lo, v_hi)
+            return 0.5 * ca * ue * ue + cb * ue * vs + 0.5 * cc * vs * vs
+
+        def _qv(ve):  # min over the edge v = ve, u in [u_lo, u_hi]
+            us = jnp.clip(-cb * ve / ca, u_lo, u_hi)
+            return 0.5 * cc * ve * ve + cb * us * ve + 0.5 * ca * us * us
+
+        qmin = jnp.minimum(jnp.minimum(_qu(u_lo), _qu(u_hi)),
+                           jnp.minimum(_qv(v_lo), _qv(v_hi)))
+        qmin = jnp.where(inside, 0.0, qmin)
+        # f32 safety margin: the kernel evaluates q at pixels with its own
+        # rounding; never cull within a few hundred ulps of the threshold.
+        # Non-PSD conics (det<0 numerics) are kept — the kernel's
+        # power<=0 gate owns that case.
+        keep = (qmin <= thr + (1e-3 + 1e-3 * jnp.abs(thr))) \
+            | (ca <= 0.0) | (cc <= 0.0)
+        tile = jnp.where(keep, tile, num_tiles)
 
     # 3. one stable sort by tile id (instances already depth-ordered);
     # validity is derivable (tile == num_tiles marks padding), so only

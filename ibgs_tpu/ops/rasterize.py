@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 from flax import struct
+from jax import lax
 
 from ibgs_tpu.core.camera import Camera
 from ibgs_tpu.ops import binning, blend_oracle, epilogue, preprocess
@@ -53,6 +54,16 @@ class RasterConfig:
     # epilogue currently ignores it.  The aggregation net consumes the same
     # config flag separately (models/aggregation.py).
     mix_precision: bool = False
+    # Exact per-instance tile/ellipse cull in binning (bin_splats cull_tab):
+    # output- and gradient-preserving (the blend's per-pixel alpha >= 1/255
+    # ok-gate would skip every pixel of a culled instance).  Measured on
+    # v5e at the bench scene (100k near-isotropic splats, 960x544): culls
+    # 13.3% of instances but the widened (cap,8) rank-row gather + cull
+    # math cost ~7 ms against ~4 ms of blend savings → net +2.7 ms/step,
+    # so it defaults OFF.  It pays off where rects are large and
+    # anisotropic (the AABB's corner tiles), and under GSP it also shrinks
+    # the instance all_to_all volume.
+    exact_tile_cull: bool = False
 
     def blend_cfg(self, render_geo: bool, depth_only: bool) -> BlendConfig:
         return BlendConfig(
@@ -180,8 +191,22 @@ def rasterize(
             n_tiles=n_tiles,
             radius=jnp.where(n_tiles > 0, sp.radius, 0),
         )
+    cull_tab = None
+    if cfg.exact_tile_cull:
+        # exact per-instance tile/ellipse test (see bin_splats): mean in
+        # band-local pixel coords + conic + the ln(255*opacity) power
+        # threshold of the kernel's alpha >= 1/255 ok-gate
+        m2c = lax.stop_gradient(sp.mean2d)
+        con = lax.stop_gradient(sp.conic)
+        thr = jnp.log(jnp.maximum(255.0 * lax.stop_gradient(sp.opacity),
+                                  1.000001))
+        row0f = jnp.asarray(row0, jnp.float32)
+        cull_tab = jnp.stack(
+            [m2c[:, 0], m2c[:, 1] - row0f,
+             con[:, 0], con[:, 1], con[:, 2], thr], axis=1)
     bins = binning.bin_splats(sp, tiles_x, tiles_y, cfg.instance_cap,
-                              with_gauss_id=False)
+                              with_gauss_id=False, cull_tab=cull_tab,
+                              tile_h=cfg.tile_h, tile_w=cfg.tile_w)
 
     mean2d = sp.mean2d
     if screen_dummy is not None:

@@ -105,8 +105,20 @@ def exchange_and_blend(params_view, cam: Camera, rcfg: RasterConfig,
         params_view["active_sh_degree"], params_view["normal_world"],
         params_view["plane_offset"], cam, tile_h, tile_w,
         alive=params_view.get("alive"))
+    cull_tab = None
+    if rcfg.exact_tile_cull:
+        # exact tile/ellipse cull (see bin_splats): global pixel coords —
+        # GSP bins the FULL tile grid before the band exchange, so culled
+        # instances also never enter the all_to_all
+        m2c = lax.stop_gradient(sp.mean2d)
+        con = lax.stop_gradient(sp.conic)
+        thr = jnp.log(jnp.maximum(
+            255.0 * lax.stop_gradient(sp.opacity), 1.000001))
+        cull_tab = jnp.stack([m2c[:, 0], m2c[:, 1], con[:, 0], con[:, 1],
+                              con[:, 2], thr], axis=1)
     bins = binning.bin_splats(sp, tiles_x, band_ty * n_bands, cap_local,
-                              with_gauss_id=False)
+                              with_gauss_id=False, cull_tab=cull_tab,
+                              tile_h=tile_h, tile_w=tile_w)
     feats_g = _pack_feats(sp, params_view.get("screen_dummy_abs"))
     if params_view.get("screen_dummy") is not None:
         feats_g = feats_g.at[:, 0:2].add(params_view["screen_dummy"])

@@ -91,3 +91,90 @@ def test_pack_rows_vjp_matches_autodiff():
     g2 = jax.grad(via_plain)(feats)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_exact_tile_cull_is_output_and_grad_preserving():
+    """bin_splats' exact tile/ellipse cull only retags instances the blend
+    kernel's per-pixel alpha >= 1/255 ok-gate skips anyway: full geo
+    renders and every parameter gradient must be IDENTICAL with the cull
+    on and off, while the per-tile instance ranges shrink."""
+    import dataclasses
+
+    from ibgs_tpu.ops.epilogue import SourceViews
+    from ibgs_tpu.ops.rasterize import RasterConfig, rasterize
+    from tests.utils import face_camera as _fc
+
+    cam = simple_camera(64, 48)
+    # big anisotropic splats with mixed opacities → multi-tile rects whose
+    # AABB corners the ellipse never reaches
+    p = _fc(random_cloud(jax.random.PRNGKey(9), 120,
+                         scale_rng=(-2.5, -1.0)), cam)
+    p["opacity"] = jnp.concatenate(
+        [jnp.full((60,), 0.02), p["opacity"][60:]])
+    S, H, W = 2, 48, 64
+    ks = jax.random.split(jax.random.PRNGKey(21), 3)
+    eye = jnp.tile(jnp.eye(4)[None], (S, 1, 1))
+    src = SourceViews(
+        images=jax.random.uniform(ks[0], (S, H, W, 3)),
+        depths=jax.random.uniform(ks[1], (S, H, W), minval=2.0, maxval=4.0),
+        ref_to_src=eye.at[:, :3, 3].add(
+            jax.random.normal(ks[2], (S, 3)) * 0.05),
+        cam_pos=jax.random.normal(ks[2], (S, 3)) * 0.1,
+        count=jnp.int32(S),
+    )
+    cfg_on = RasterConfig(instance_cap=8192, backend="oracle",
+                          exact_tile_cull=True)
+    cfg_off = dataclasses.replace(cfg_on, exact_tile_cull=False)
+
+    def run_loss(cfg):
+        def loss(xyz, scale, quat, opacity, sh, nrm, off):
+            r = rasterize(
+                xyz=xyz, scale=scale, quat=quat, opacity=opacity,
+                sh_coeffs=sh, active_sh_degree=0, normal_world=nrm,
+                plane_offset=off, cam=cam, bg=jnp.array([0.2, 0.3, 0.4]),
+                cfg=cfg, src=src, render_geo=True)
+            out = (jnp.abs(r.render - 0.5).mean()
+                   + 0.3 * (r.final_t ** 2).mean()
+                   + 0.2 * jnp.abs(r.normal).mean()
+                   + 0.05 * (r.median_depth ** 2).mean()
+                   + 0.4 * jnp.abs(r.ibr.warped_image - 0.3).mean())
+            return out, r
+        return loss
+
+    args = (p["xyz"], p["scale"], p["quat"], p["opacity"], p["sh_coeffs"],
+            p["normal_world"], p["plane_offset"])
+    (l_on, r_on), g_on = jax.value_and_grad(
+        run_loss(cfg_on), argnums=tuple(range(7)), has_aux=True)(*args)
+    (l_off, r_off), g_off = jax.value_and_grad(
+        run_loss(cfg_off), argnums=tuple(range(7)), has_aux=True)(*args)
+
+    np.testing.assert_array_equal(np.asarray(r_on.render),
+                                  np.asarray(r_off.render))
+    np.testing.assert_array_equal(np.asarray(r_on.normal),
+                                  np.asarray(r_off.normal))
+    np.testing.assert_array_equal(np.asarray(r_on.median_depth),
+                                  np.asarray(r_off.median_depth))
+    np.testing.assert_array_equal(np.asarray(r_on.final_t),
+                                  np.asarray(r_off.final_t))
+    np.testing.assert_array_equal(np.asarray(r_on.ibr.warped_image),
+                                  np.asarray(r_off.ibr.warped_image))
+    assert float(l_on) == float(l_off)
+    for a, b in zip(g_on, g_off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the cull actually removes work: strictly fewer in-range instances
+    from ibgs_tpu.ops import preprocess as _pp
+    sp = _pp.preprocess(p["xyz"], p["scale"], p["quat"], p["opacity"],
+                        p["sh_coeffs"], 0, p["normal_world"],
+                        p["plane_offset"], cam, 16, 16)
+    import jax.numpy as _jnp
+    from jax import lax as _lax
+    thr = _jnp.log(_jnp.maximum(255.0 * sp.opacity, 1.000001))
+    ctab = _jnp.stack([sp.mean2d[:, 0], sp.mean2d[:, 1], sp.conic[:, 0],
+                       sp.conic[:, 1], sp.conic[:, 2], thr], axis=1)
+    b_on = binning.bin_splats(sp, 4, 3, 8192, cull_tab=ctab,
+                              tile_h=16, tile_w=16)
+    b_off = binning.bin_splats(sp, 4, 3, 8192)
+    kept_on = int((np.asarray(b_on.tile_stop) - np.asarray(b_on.tile_start)).sum())
+    kept_off = int((np.asarray(b_off.tile_stop) - np.asarray(b_off.tile_start)).sum())
+    assert kept_on < kept_off, (kept_on, kept_off)
