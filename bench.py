@@ -62,7 +62,12 @@ def main():
     # scene/tiling with the per-axis ellipse-AABB rects).  Round sizes (not
     # pow2) keep every P-/cap-sized sort, scan and gather snug — padding
     # rows cost exactly like real ones.
-    cap = int(os.environ.get("BENCH_CAP", 1_113_600))
+    # BENCH_STAIR=1 switches binning to the staircase-interval expansion
+    # (kept-tile counting before slot assignment): ~13% fewer instances at
+    # this scene, so the snug default cap shrinks with it.
+    stair = os.environ.get("BENCH_STAIR", "0") == "1"
+    cap = int(os.environ.get("BENCH_CAP", 967_000 if stair else 1_113_600))
+    rowcap = int(os.environ.get("BENCH_ROWCAP", 420_000 if stair else 0))
     capacity = int(os.environ.get("BENCH_CAPACITY", 131_072))
 
     rng = np.random.default_rng(0)
@@ -77,7 +82,8 @@ def main():
     mixp = os.environ.get("BENCH_MIXP", "1") == "1"
     th, tw = (int(x) for x in os.environ.get("BENCH_TILE", "16x16").split("x"))
     cfg = RasterConfig(instance_cap=cap, backend=backend, mix_precision=mixp,
-                       tile_h=th, tile_w=tw)
+                       tile_h=th, tile_w=tw, staircase_cull=stair,
+                       row_cap=rowcap)
     S = 4
     src = SourceViews(
         images=jnp.asarray(rng.random((S, H, W, 3)), jnp.float32),

@@ -97,12 +97,179 @@ class TileBins:
     slot: jnp.ndarray        # (cap,) int32 pre-sort slot of each sorted row
     seg_off: jnp.ndarray     # (P+1,) int32 slot range of depth-rank r =
     #                          [seg_off[r], seg_off[r+1]) — pack_rows bwd
+    n_rows: jnp.ndarray = 0  # () int32 staircase row count (0 = AABB path)
+
+
+def _staircase_row_interval(ca, cb, cc, thr, v_lo, v_hi, tile_w,
+                            mx, rx, rw):
+    """Kept tile-column interval [lo, lo+w) of one tile ROW.
+
+    Closed-form u-extent of the sublevel set E = {q(u,v) <= thr} within the
+    band v in [v_lo, v_hi], where q(u,v) = 0.5(A u^2 + C v^2) + B u v is the
+    kernel's Mahalanobis power (u, v relative to the splat mean).  For fixed
+    v the u-interval is (-Bv +- sqrt(2A thr - det v^2))/A with
+    det = AC - B^2; u_max(v) is concave, maximised at
+    v* = -B sqrt(2 thr / (C det)) (where it equals the global ellipse
+    extent sqrt(2 thr C / det)), so the band maximum is u_max(clip(v*)),
+    and by the (u,v) -> (-u,-v) symmetry the band minimum is
+    u_min(clip(-v*)).  A tile column tx survives iff its pixel u-span
+    [tx tw - mx, tx tw + tw - 1 - mx] overlaps [u_min, u_max] — a
+    NECESSARY condition for the exact per-tile rect-min test
+    (rect ∩ E != ∅ implies u-projection overlap), hence conservative:
+    every tile the blend kernel's alpha >= 1/255 ok-gate would touch is
+    kept.  Degenerate conics (non-PSD numerics) keep the full AABB row.
+
+    Returns (lo, w) int32 tile-column start / width (w may be 0)."""
+    thr_m = thr + (1e-3 + 1e-3 * jnp.abs(thr))
+    det = ca * cc - cb * cb
+    safe = (ca > 0.0) & (cc > 0.0) & (det > 0.0) & (thr_m > 0.0)
+    ca_s = jnp.where(safe, ca, 1.0)
+    cc_s = jnp.where(safe, cc, 1.0)
+    det_s = jnp.where(safe, det, 1.0)
+    thr_s = jnp.where(safe, thr_m, 1.0)
+    vstar = -cb * jnp.sqrt(2.0 * thr_s / (cc_s * det_s))
+    v_at_max = jnp.clip(vstar, v_lo, v_hi)
+    v_at_min = jnp.clip(-vstar, v_lo, v_hi)
+    disc_max = 2.0 * ca_s * thr_s - det_s * v_at_max * v_at_max
+    disc_min = 2.0 * ca_s * thr_s - det_s * v_at_min * v_at_min
+    hit = disc_max >= 0.0          # band reaches the ellipse's v-extent
+    u_max = (-cb * v_at_max + jnp.sqrt(jnp.maximum(disc_max, 0.0))) / ca_s
+    u_min = (-cb * v_at_min - jnp.sqrt(jnp.maximum(disc_min, 0.0))) / ca_s
+    # f32 safety: widen so boundary floor/ceil can never drop a tile the
+    # kernel's own f32 power evaluation would keep
+    u_max = u_max + (1e-3 + 1e-3 * jnp.abs(u_max))
+    u_min = u_min - (1e-3 + 1e-3 * jnp.abs(u_min))
+    tx_lo_f = jnp.ceil((mx + u_min - (tile_w - 1)) / tile_w)
+    tx_hi_f = jnp.floor((mx + u_max) / tile_w)
+    big = jnp.float32(1 << 24)
+    tx_lo = jnp.clip(tx_lo_f, -1.0, big).astype(jnp.int32)
+    tx_hi = jnp.clip(tx_hi_f, -2.0, big).astype(jnp.int32)
+    lo = jnp.maximum(tx_lo, rx)
+    hi = jnp.minimum(tx_hi, rx + rw - 1)
+    w = jnp.where(hit, jnp.maximum(hi - lo + 1, 0), 0)
+    lo = jnp.where(safe, lo, rx)
+    w = jnp.where(safe, w, rw)
+    return lo, w
+
+
+def _bin_splats_staircase(sp: Splats2D, tiles_x: int, tiles_y: int,
+                          cap: int, with_gauss_id: bool,
+                          cull_tab: jnp.ndarray, tile_h: int, tile_w: int,
+                          row_cap: int) -> TileBins:
+    """Two-level scan-propagated expansion: gaussians → tile ROWS → tiles.
+
+    Unlike the post-hoc exact cull (cull_tab retagging below, which leaves
+    culled instances occupying expansion slots), the staircase computes the
+    per-row kept-tile interval BEFORE slot assignment, so `total` itself —
+    and with it every cap-sized sort/gather and the blend kernel's
+    sequential walk — shrinks.  Both expansion levels reuse the same
+    machinery (exclusive prefix sum → head-scatter + monotone cummax →
+    rank-indexed packed row gathers); the per-row interval is closed-form
+    (_staircase_row_interval) so no per-instance cull math or widened
+    per-instance gather is needed — the rank-row gather is (cap, 3).
+
+    Instance enumeration order (row-major within each gaussian's kept
+    staircase, gaussians in depth order) and the downstream tile sort /
+    range semantics are identical to the AABB path, so outputs and
+    gradients are bit-identical (kept set ⊇ the exact per-tile cull's,
+    which is itself output-preserving).  Rows are a second static
+    capacity: row_cap (rows ≤ AABB instances; overflow drops the deepest
+    gaussians' rows, prefix-truncation semantics like `cap`; callers read
+    `n_rows`)."""
+    assert cap < MAX_CAP and tiles_x * tiles_y < MAX_CAP
+    num_tiles = tiles_x * tiles_y
+    P = sp.depth.shape[0]
+    n_tiles = lax.stop_gradient(sp.n_tiles)
+    depth = lax.stop_gradient(sp.depth)
+
+    order = jnp.argsort(jnp.where(n_tiles > 0, depth, jnp.inf),
+                        stable=True).astype(jnp.int32)
+    rx_p = sp.rect_min[:, 0].astype(jnp.int32)
+    ry_p = sp.rect_min[:, 1].astype(jnp.int32)
+    rw_p = jnp.maximum(
+        (sp.rect_max[:, 0] - sp.rect_min[:, 0]).astype(jnp.int32), 1)
+    rh_p = jnp.where(
+        n_tiles > 0,
+        (sp.rect_max[:, 1] - sp.rect_min[:, 1]).astype(jnp.int32), 0)
+    assert tiles_x < (1 << 10) and tiles_y < (1 << 11)
+    pre_cols = jnp.concatenate(
+        [jnp.stack([(rx_p << 21) | (ry_p << 10) | rw_p, rh_p], axis=1),
+         lax.bitcast_convert_type(lax.stop_gradient(cull_tab), jnp.int32)],
+        axis=1)
+    pre = pre_cols[order]                       # (P, 8) rank order
+    rh = pre[:, 1]
+    offs_r = jnp.cumsum(rh) - rh                # exclusive row prefix
+    total_rows = offs_r[-1] + rh[-1]
+
+    # level 1: deliver the gaussian depth-rank to every ROW slot
+    ranks_p = jnp.arange(P, dtype=jnp.int32)
+    head_r = jnp.where(rh > 0, offs_r, row_cap)
+    rrank = cummax_i32(
+        jnp.zeros((row_cap,), jnp.int32).at[head_r].max(ranks_p,
+                                                        mode="drop"))
+    rtab = jnp.concatenate(
+        [jnp.stack([pre[:, 0], offs_r], axis=1), pre[:, 2:8]], axis=1)
+    rrow = rtab[rrank]                          # (row_cap, 8)
+    pr = rrow[:, 0]
+    rx, ry, rw = pr >> 21, (pr >> 10) & ((1 << 11) - 1), pr & ((1 << 10) - 1)
+    cf = lax.bitcast_convert_type(rrow[:, 2:8], jnp.float32)
+
+    rslot = jnp.arange(row_cap, dtype=jnp.int32)
+    row_valid = rslot < jnp.minimum(total_rows, row_cap)
+    ty = ry + (rslot - rrow[:, 1])
+    v_lo = (ty * tile_h).astype(jnp.float32) - cf[:, 1]
+    lo, w = _staircase_row_interval(
+        cf[:, 2], cf[:, 3], cf[:, 4], cf[:, 5], v_lo, v_lo + (tile_h - 1),
+        tile_w, cf[:, 0], rx, rw)
+    w = jnp.where(row_valid, w, 0)
+
+    # level 2: rows → tile instances (same machinery, row-sized tables)
+    offs2 = jnp.cumsum(w) - w
+    total = offs2[-1] + w[-1]
+    head2 = jnp.where(w > 0, offs2, cap)
+    rowrank = cummax_i32(
+        jnp.zeros((cap,), jnp.int32).at[head2].max(rslot, mode="drop"))
+    itab = jnp.stack([ty * tiles_x + lo, offs2, rrank], axis=1)
+    irow = itab[rowrank]                        # (cap, 3)
+    inst = jnp.arange(cap, dtype=jnp.int32)
+    inst_valid = inst < jnp.minimum(total, cap)
+    tile = jnp.where(inst_valid, irow[:, 0] + (inst - irow[:, 1]), num_tiles)
+    rank = irow[:, 2]
+
+    # per-gaussian slot segments for pack_rows bwd: rows of one gaussian
+    # are contiguous at level 1 and slots are contiguous within each row,
+    # so seg_off[r] = offs2 at the gaussian's first row (clip = the same
+    # prefix-truncation semantics as `cap`)
+    offs2_ext = jnp.concatenate([offs2, total[None]])
+    seg_off = offs2_ext[jnp.clip(
+        jnp.concatenate([offs_r, total_rows[None]]), 0, row_cap)]
+
+    tile_sorted, rank_sorted, slot_sorted = lax.sort(
+        (tile, rank, inst), num_keys=1)
+    valid_sorted = tile_sorted < num_tiles
+    start, stop = tile_ranges_from_sorted(tile_sorted, num_tiles,
+                                          jnp.minimum(total, cap))
+    gauss_id = order[rank_sorted] if with_gauss_id else rank_sorted
+    return TileBins(
+        order=order,
+        rank=rank_sorted,
+        gauss_id=gauss_id,
+        tile_id=tile_sorted,
+        inst_valid=valid_sorted.astype(bool),
+        tile_start=start,
+        tile_stop=stop,
+        n_instances=total,
+        slot=slot_sorted,
+        seg_off=seg_off.astype(jnp.int32),
+        n_rows=total_rows,
+    )
 
 
 def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
                with_gauss_id: bool = True,
                cull_tab: jnp.ndarray | None = None,
-               tile_h: int = 16, tile_w: int = 16) -> TileBins:
+               tile_h: int = 16, tile_w: int = 16,
+               staircase: bool = False, row_cap: int = 0) -> TileBins:
     """With `cull_tab` (P, 6) f32 [mean_x, mean_y_band, conic_a, conic_b,
     conic_c, ln(255*opacity)], instances whose Mahalanobis power exceeds
     the 1/255 alpha threshold over the ENTIRE tile are retagged as padding
@@ -115,7 +282,16 @@ def bin_splats(sp: Splats2D, tiles_x: int, tiles_y: int, cap: int,
     the convex quadratic q(d) = 0.5(A dx^2 + C dy^2) + B dx dy over the
     tile's continuous pixel rectangle (interior if the mean is inside,
     else the best of the four clamped edge minimisers) — a lower bound on
-    q at any pixel centre, so the cull is conservative."""
+    q at any pixel centre, so the cull is conservative.
+
+    With `staircase=True` (requires cull_tab), the two-level staircase
+    expansion (_bin_splats_staircase) is used instead: kept-tile intervals
+    are counted BEFORE slot assignment so `total` itself shrinks."""
+    if staircase:
+        assert cull_tab is not None, "staircase expansion needs cull_tab"
+        return _bin_splats_staircase(
+            sp, tiles_x, tiles_y, cap, with_gauss_id, cull_tab,
+            tile_h, tile_w, row_cap or cap)
     assert cap < MAX_CAP and tiles_x * tiles_y < MAX_CAP
     num_tiles = tiles_x * tiles_y
     P = sp.depth.shape[0]

@@ -64,6 +64,16 @@ class RasterConfig:
     # anisotropic (the AABB's corner tiles), and under GSP it also shrinks
     # the instance all_to_all volume.
     exact_tile_cull: bool = False
+    # Staircase-interval expansion (binning._bin_splats_staircase): counts
+    # each gaussian's exactly-kept tiles per tile row BEFORE slot
+    # assignment, so `total` — and every cap-sized sort/gather plus the
+    # blend walk — shrinks, unlike exact_tile_cull which only retags
+    # already-assigned slots.  Output- and gradient-preserving (kept set
+    # ⊇ the exact cull's).  row_cap is the static tile-row capacity
+    # (0 → instance_cap // 2; rows ≤ AABB instances, overflow drops the
+    # deepest gaussians' rows with prefix semantics like instance_cap).
+    staircase_cull: bool = False
+    row_cap: int = 0
 
     def blend_cfg(self, render_geo: bool, depth_only: bool) -> BlendConfig:
         return BlendConfig(
@@ -192,7 +202,7 @@ def rasterize(
             radius=jnp.where(n_tiles > 0, sp.radius, 0),
         )
     cull_tab = None
-    if cfg.exact_tile_cull:
+    if cfg.exact_tile_cull or cfg.staircase_cull:
         # exact per-instance tile/ellipse test (see bin_splats): mean in
         # band-local pixel coords + conic + the ln(255*opacity) power
         # threshold of the kernel's alpha >= 1/255 ok-gate
@@ -206,7 +216,9 @@ def rasterize(
              con[:, 0], con[:, 1], con[:, 2], thr], axis=1)
     bins = binning.bin_splats(sp, tiles_x, tiles_y, cfg.instance_cap,
                               with_gauss_id=False, cull_tab=cull_tab,
-                              tile_h=cfg.tile_h, tile_w=cfg.tile_w)
+                              tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                              staircase=cfg.staircase_cull,
+                              row_cap=cfg.row_cap or cfg.instance_cap // 2)
 
     mean2d = sp.mean2d
     if screen_dummy is not None:

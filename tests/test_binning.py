@@ -178,3 +178,133 @@ def test_exact_tile_cull_is_output_and_grad_preserving():
     kept_on = int((np.asarray(b_on.tile_stop) - np.asarray(b_on.tile_start)).sum())
     kept_off = int((np.asarray(b_off.tile_stop) - np.asarray(b_off.tile_start)).sum())
     assert kept_on < kept_off, (kept_on, kept_off)
+
+
+def test_staircase_cull_is_output_and_grad_preserving():
+    """The staircase-interval expansion (kept-tile counting BEFORE slot
+    assignment) must keep a superset of the exact per-tile cull's
+    instances — which is itself output-preserving — and a subset of the
+    AABB expansion's, shrink n_instances, and leave full geo renders and
+    every parameter gradient IDENTICAL to the AABB path."""
+    import dataclasses
+
+    from ibgs_tpu.ops.epilogue import SourceViews
+    from ibgs_tpu.ops.rasterize import RasterConfig, rasterize
+    from tests.utils import face_camera as _fc
+
+    cam = simple_camera(64, 48)
+    p = _fc(random_cloud(jax.random.PRNGKey(9), 120,
+                         scale_rng=(-2.5, -1.0)), cam)
+    p["opacity"] = jnp.concatenate(
+        [jnp.full((60,), 0.02), p["opacity"][60:]])
+    S, H, W = 2, 48, 64
+    ks = jax.random.split(jax.random.PRNGKey(21), 3)
+    eye = jnp.tile(jnp.eye(4)[None], (S, 1, 1))
+    src = SourceViews(
+        images=jax.random.uniform(ks[0], (S, H, W, 3)),
+        depths=jax.random.uniform(ks[1], (S, H, W), minval=2.0, maxval=4.0),
+        ref_to_src=eye.at[:, :3, 3].add(
+            jax.random.normal(ks[2], (S, 3)) * 0.05),
+        cam_pos=jax.random.normal(ks[2], (S, 3)) * 0.1,
+        count=jnp.int32(S),
+    )
+    cfg_on = RasterConfig(instance_cap=8192, backend="oracle",
+                          staircase_cull=True, row_cap=4096)
+    cfg_off = dataclasses.replace(cfg_on, staircase_cull=False)
+
+    def run_loss(cfg):
+        def loss(xyz, scale, quat, opacity, sh, nrm, off):
+            r = rasterize(
+                xyz=xyz, scale=scale, quat=quat, opacity=opacity,
+                sh_coeffs=sh, active_sh_degree=0, normal_world=nrm,
+                plane_offset=off, cam=cam, bg=jnp.array([0.2, 0.3, 0.4]),
+                cfg=cfg, src=src, render_geo=True)
+            out = (jnp.abs(r.render - 0.5).mean()
+                   + 0.3 * (r.final_t ** 2).mean()
+                   + 0.2 * jnp.abs(r.normal).mean()
+                   + 0.05 * (r.median_depth ** 2).mean()
+                   + 0.4 * jnp.abs(r.ibr.warped_image - 0.3).mean())
+            return out, r
+        return loss
+
+    args = (p["xyz"], p["scale"], p["quat"], p["opacity"], p["sh_coeffs"],
+            p["normal_world"], p["plane_offset"])
+    (l_on, r_on), g_on = jax.value_and_grad(
+        run_loss(cfg_on), argnums=tuple(range(7)), has_aux=True)(*args)
+    (l_off, r_off), g_off = jax.value_and_grad(
+        run_loss(cfg_off), argnums=tuple(range(7)), has_aux=True)(*args)
+
+    np.testing.assert_array_equal(np.asarray(r_on.render),
+                                  np.asarray(r_off.render))
+    np.testing.assert_array_equal(np.asarray(r_on.normal),
+                                  np.asarray(r_off.normal))
+    np.testing.assert_array_equal(np.asarray(r_on.median_depth),
+                                  np.asarray(r_off.median_depth))
+    np.testing.assert_array_equal(np.asarray(r_on.final_t),
+                                  np.asarray(r_off.final_t))
+    np.testing.assert_array_equal(np.asarray(r_on.ibr.warped_image),
+                                  np.asarray(r_off.ibr.warped_image))
+    assert float(l_on) == float(l_off)
+    # Gradients: culled instances contribute exactly 0, but removing their
+    # SLOTS changes the pack_rows-bwd cumsum prefixes, so per-gaussian
+    # segment sums differ by float accumulation order (ulps) — unlike
+    # exact_tile_cull, which zeroes slots in place and stays bit-equal.
+    for a, b in zip(g_on, g_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-6)
+
+    # set relations on the kept (tile, depth-rank) pairs:
+    # exact-cull kept ⊆ staircase kept ⊆ AABB kept, and total shrinks
+    from ibgs_tpu.ops import preprocess as _pp
+    sp = _pp.preprocess(p["xyz"], p["scale"], p["quat"], p["opacity"],
+                        p["sh_coeffs"], 0, p["normal_world"],
+                        p["plane_offset"], cam, 16, 16)
+    thr = jnp.log(jnp.maximum(255.0 * sp.opacity, 1.000001))
+    ctab = jnp.stack([sp.mean2d[:, 0], sp.mean2d[:, 1], sp.conic[:, 0],
+                      sp.conic[:, 1], sp.conic[:, 2], thr], axis=1)
+    b_aabb = binning.bin_splats(sp, 4, 3, 8192)
+    b_exact = binning.bin_splats(sp, 4, 3, 8192, cull_tab=ctab,
+                                 tile_h=16, tile_w=16)
+    b_stair = binning.bin_splats(sp, 4, 3, 8192, cull_tab=ctab,
+                                 tile_h=16, tile_w=16, staircase=True,
+                                 row_cap=4096)
+
+    def pairs(b):
+        v = np.asarray(b.inst_valid)
+        return set(zip(np.asarray(b.tile_id)[v].tolist(),
+                       np.asarray(b.rank)[v].tolist()))
+
+    pa, pe, ps = pairs(b_aabb), pairs(b_exact), pairs(b_stair)
+    assert pe <= ps <= pa
+    assert int(b_stair.n_instances) < int(b_aabb.n_instances)
+    # seg_off partitions the slot space consistently with the kept pairs
+    so = np.asarray(b_stair.seg_off)
+    assert so[-1] == int(b_stair.n_instances) and (np.diff(so) >= 0).all()
+
+
+def test_staircase_row_truncation_is_prefix():
+    """Row overflow must drop the DEEPEST gaussians' rows (prefix
+    semantics, like instance_cap) and report n_rows pre-truncation."""
+    sp, tx, ty = _splats(n=200, seed=1)
+    thr = jnp.log(jnp.maximum(255.0 * sp.opacity, 1.000001))
+    ctab = jnp.stack([sp.mean2d[:, 0], sp.mean2d[:, 1], sp.conic[:, 0],
+                      sp.conic[:, 1], sp.conic[:, 2], thr], axis=1)
+    full = binning.bin_splats(sp, tx, ty, 8192, cull_tab=ctab,
+                              tile_h=8, tile_w=16, staircase=True,
+                              row_cap=8192)
+    rows = int(full.n_rows)
+    half = binning.bin_splats(sp, tx, ty, 8192, cull_tab=ctab,
+                              tile_h=8, tile_w=16, staircase=True,
+                              row_cap=rows // 2)
+    assert int(half.n_rows) == rows               # reported pre-truncation
+    v_full = np.asarray(full.inst_valid)
+    v_half = np.asarray(half.inst_valid)
+    pf = set(zip(np.asarray(full.tile_id)[v_full].tolist(),
+                 np.asarray(full.rank)[v_full].tolist()))
+    ph = set(zip(np.asarray(half.tile_id)[v_half].tolist(),
+                 np.asarray(half.rank)[v_half].tolist()))
+    assert ph < pf
+    # dropped rows belong to the DEEPEST gaussians: no dropped pair may be
+    # shallower than a surviving pair (equality = a partially kept gaussian)
+    dropped = pf - ph
+    assert min(r for _, r in dropped) >= max(r for _, r in ph)
