@@ -66,8 +66,10 @@ def main():
     # (kept-tile counting before slot assignment): ~13% fewer instances at
     # this scene, so the snug default cap shrinks with it.
     stair = os.environ.get("BENCH_STAIR", "0") == "1"
-    cap = int(os.environ.get("BENCH_CAP", 967_000 if stair else 1_113_600))
-    rowcap = int(os.environ.get("BENCH_ROWCAP", 420_000 if stair else 0))
+    # snug staircase sizes (measured on this scene: 803,478 instances /
+    # 250,391 rows at 960x544; 2,171,861 / 399,412 at 1920x1088)
+    cap = int(os.environ.get("BENCH_CAP", 965_000 if stair else 1_113_600))
+    rowcap = int(os.environ.get("BENCH_ROWCAP", 301_000 if stair else 0))
     capacity = int(os.environ.get("BENCH_CAPACITY", 131_072))
 
     rng = np.random.default_rng(0)

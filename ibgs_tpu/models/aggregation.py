@@ -83,8 +83,13 @@ def exposure_affine(render, first_warped, valid_mask):
     Y = first_warped.reshape(-1, 3)
     Xs = lax.stop_gradient(X) * m
     Ys = lax.stop_gradient(Y) * m
-    G = Xs.T @ Xs + 1e-6 * jnp.eye(4, dtype=render.dtype)
-    A = jnp.linalg.solve(G, Xs.T @ Ys)                            # (4, 3)
+    # Normal equations are cancellation-prone: TPU default matmul precision
+    # is bf16 passes, which silently corrupted exactly this class of
+    # computation before (3-NN init scales, SSIM variances — CLAUDE.md).
+    hi = lax.Precision.HIGHEST
+    G = jnp.matmul(Xs.T, Xs, precision=hi) + \
+        1e-6 * jnp.eye(4, dtype=render.dtype)
+    A = jnp.linalg.solve(G, jnp.matmul(Xs.T, Ys, precision=hi))   # (4, 3)
     out = (X @ A).reshape(render.shape)
     return out, A.T
 
