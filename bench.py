@@ -62,10 +62,12 @@ def main():
     # scene/tiling with the per-axis ellipse-AABB rects).  Round sizes (not
     # pow2) keep every P-/cap-sized sort, scan and gather snug — padding
     # rows cost exactly like real ones.
-    # BENCH_STAIR=1 switches binning to the staircase-interval expansion
-    # (kept-tile counting before slot assignment): ~13% fewer instances at
-    # this scene, so the snug default cap shrinks with it.
-    stair = os.environ.get("BENCH_STAIR", "0") == "1"
+    # BENCH_STAIR=1 (default ON — measured faster at both bench scales:
+    # 128.0 vs 129.5 ms at 960x544, 499.0 vs 516.8 ms at 1080p) switches
+    # binning to the staircase-interval expansion (kept-tile counting
+    # before slot assignment): 13-16% fewer instances, so the snug default
+    # cap shrinks with it.
+    stair = os.environ.get("BENCH_STAIR", "1") == "1"
     # snug staircase sizes (measured on this scene: 803,478 instances /
     # 250,391 rows at 960x544; 2,171,861 / 399,412 at 1920x1088)
     cap = int(os.environ.get("BENCH_CAP", 965_000 if stair else 1_113_600))

@@ -45,11 +45,20 @@ def main(argv=None):
     p.add_argument("--data_root", required=True)
     p.add_argument("--out_root", default="./output")
     p.add_argument("--suites", nargs="+", default=list(SUITES))
+    p.add_argument("--scenes", nargs="+", default=None,
+                   help="explicit scene dirs under data_root (bypasses "
+                        "--suites; flags come from --extra only)")
     p.add_argument("--extra", nargs="*", default=[])
-    args = p.parse_args(argv)
+    # unknown flags pass through to train.py (argparse's nargs="*" refuses
+    # tokens that look like options, so `--extra --eval ...` lands here)
+    args, unknown = p.parse_known_args(argv)
+    args.extra = list(args.extra) + list(unknown)
     py = sys.executable
-    for suite in args.suites:
-        cfg = SUITES[suite]
+    if args.scenes:
+        suites = {"custom": dict(scenes=args.scenes, flags=[])}.items()
+    else:
+        suites = ((s, SUITES[s]) for s in args.suites)
+    for suite, cfg in suites:
         for scene in cfg["scenes"]:
             src = os.path.join(args.data_root, scene)
             out = os.path.join(args.out_root, suite, scene)

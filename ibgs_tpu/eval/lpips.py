@@ -9,6 +9,22 @@ weights must be provided as a local .npz via $IBGS_LPIPS_WEIGHTS with keys:
 
 `scripts/export_lpips_weights.py` converts a torchvision+lpips checkout
 into this format on a machine with network access.
+
+Weight-sourcing finding (round 3, documented per VERDICT r2 #7): the
+weights genuinely cannot be produced inside this image.  Probed —
+`torchvision`, `lpips`, and `timm` are not installed; `torch.hub`'s
+checkpoint cache (`~/.cache/torch/hub`) is empty; no `*.pth`/`*.h5`/
+`*.safetensors` VGG16 checkpoint exists anywhere on disk;
+keras/tf_keras ship the VGG16 *code* but `keras.applications.VGG16(
+weights="imagenet")` requires a live fetch from storage.googleapis.com,
+which the zero-egress sandbox blocks (verified: URL fetch failure).
+Even if the keras weights loaded, they are the original Caffe-ported
+VGG16 — the LPIPS linear heads are calibrated against *torchvision's*
+retrained VGG16, so substituting backbones would yield a different
+(uncalibrated) metric, not LPIPS.  Until a weights npz is provided,
+`metrics.py` reports `lpips: null`; the implementation itself is
+parity-tested against a torch re-derivation with shared random weights
+(tests/test_lpips_parity.py).
 """
 from __future__ import annotations
 

@@ -84,8 +84,10 @@ def exchange_and_blend(params_view, cam: Camera, rcfg: RasterConfig,
     xyz, scale, quat, opacity, sh_coeffs, active_sh_degree, normal_world,
     plane_offset, alive.
 
-    Returns (render_band (band,W,3), blend BlendOutputs, ibr|None,
-    n_overflow () int32 — instances dropped by the per-pair exchange cap).
+    Returns (render_band (band,W,3), blend BlendOutputs, ibr|None, extras)
+    with extras = {"n_overflow": () int32 instances dropped by the
+    per-pair exchange cap, "radius": (P_loc,) int32 screen radii,
+    "n_instances": () int32 local pre-truncation instance count}.
     """
     tile_h, tile_w = rcfg.tile_h, rcfg.tile_w
     Wp = -(-cam.width // tile_w) * tile_w
@@ -106,10 +108,12 @@ def exchange_and_blend(params_view, cam: Camera, rcfg: RasterConfig,
         params_view["plane_offset"], cam, tile_h, tile_w,
         alive=params_view.get("alive"))
     cull_tab = None
-    if rcfg.exact_tile_cull:
+    if rcfg.exact_tile_cull or rcfg.staircase_cull:
         # exact tile/ellipse cull (see bin_splats): global pixel coords —
         # GSP bins the FULL tile grid before the band exchange, so culled
-        # instances also never enter the all_to_all
+        # instances also never enter the all_to_all.  The staircase variant
+        # additionally shrinks `total` itself (kept-tile counting before
+        # slot assignment), i.e. the exchange VOLUME, not just its content.
         m2c = lax.stop_gradient(sp.mean2d)
         con = lax.stop_gradient(sp.conic)
         thr = jnp.log(jnp.maximum(
@@ -118,7 +122,9 @@ def exchange_and_blend(params_view, cam: Camera, rcfg: RasterConfig,
                               con[:, 2], thr], axis=1)
     bins = binning.bin_splats(sp, tiles_x, band_ty * n_bands, cap_local,
                               with_gauss_id=False, cull_tab=cull_tab,
-                              tile_h=tile_h, tile_w=tile_w)
+                              tile_h=tile_h, tile_w=tile_w,
+                              staircase=rcfg.staircase_cull,
+                              row_cap=rcfg.row_cap or cap_local // 2)
     feats_g = _pack_feats(sp, params_view.get("screen_dummy_abs"))
     if params_view.get("screen_dummy") is not None:
         feats_g = feats_g.at[:, 0:2].add(params_view["screen_dummy"])
@@ -186,7 +192,9 @@ def exchange_and_blend(params_view, cam: Camera, rcfg: RasterConfig,
     if render_geo and src is not None:
         ibr = ibr_epilogue(blend, cam, src, rcfg.depth_error_threshold,
                            row0=row0)
-    return render, blend, ibr, n_overflow
+    extras = {"n_overflow": n_overflow, "radius": sp.radius,
+              "n_instances": bins.n_instances}
+    return render, blend, ibr, extras
 
 
 def _local_view(model_like, p_loc, alive_loc, cam_pos, learnt=True):
@@ -224,12 +232,12 @@ def gsp_train_step(rcfg: RasterConfig, mesh: Mesh, width: int, height: int,
 
         def loss_fn(p_loc):
             view = _local_view(rest, p_loc, alive_loc, cam.cam_pos)
-            render, blend, ibr, n_ovf = exchange_and_blend(
+            render, blend, ibr, extras = exchange_and_blend(
                 view, cam, rcfg, n, band_ix, cap_local, exchange_cap,
                 axis_name="gs", bg=jnp.zeros(3), src=src, render_geo=True)
             img_l = losses.dssim_l1(render, gts[0])
             med_l = 1e-4 * (ibr.median_depth ** 2).mean()
-            return img_l + med_l, n_ovf
+            return img_l + med_l, extras["n_overflow"]
 
         (loss, n_ovf), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(p_loc)
@@ -277,11 +285,255 @@ def gsp_train_step(rcfg: RasterConfig, mesh: Mesh, width: int, height: int,
     return step
 
 
+# per-Gaussian (leading-P) fields of GaussianModel, sharded P("gs") in the
+# full-objective step and the sharded densify below
+_SHARD_FIELDS = ("params", "mu", "nu", "alive", "max_radii2d", "grad_accum",
+                 "grad_accum_abs", "denom", "denom_abs")
+
+
+def _shard_arrays(model: GaussianModel) -> dict:
+    return {f: getattr(model, f) for f in _SHARD_FIELDS}
+
+
+def gsp_full_train_step(opt, rcfg: RasterConfig, net, phase, mesh: Mesh,
+                        width: int, height: int, cap_local: int,
+                        exchange_cap: int):
+    """The FULL IBGS objective under Gaussian-sharded SPMD (VERDICT r2 #3).
+
+    Identical semantics to the single-chip trainer (train/trainer.py
+    make_train_step) — the objective body is literally shared
+    (trainer.ibgs_objective) — with the render produced by the sharded
+    exchange_and_blend pipeline:
+
+      * model per-Gaussian arrays (params + Adam moments + densify stats)
+        sharded P("gs"); AppModel table and aggregation-net params
+        replicated;
+      * each gs device renders its image row band, then the band outputs
+        are all_gather'ed over "gs" so every loss term (full-window SSIM,
+        depth→normal central differences, the aggregation hourglass) sees
+        the FULL frame — bit-matching the single-chip loss math; the
+        gathers are O(H·W) while the heavy blend/epilogue VJPs stay
+        band-local, and their transposes reduce-scatter the image
+        cotangents back to the owning band;
+      * per-device loss is scaled 1/(dp·n_gs): the gs devices of one dp
+        row compute IDENTICAL full-frame losses, and reverse AD through
+        the all_gather/all_to_all transposes sums all n_gs copies into the
+        Gaussian cotangents;
+      * Gaussian/screen-dummy grads need only the dp psum (gs shards own
+        disjoint Gaussians); AppModel/net grads psum over both axes;
+      * Adam + densification-stats accumulation run shard-local through
+        the SAME adam_step / accumulate_stats as the single-chip step.
+
+    Returns a jitted step(state: TrainState, cam_arrays, cam_uid, gts,
+    srcs, iteration, bg, use_app, burned_in, net_lr) →
+    (new_state, aux dict incl. (dp,H,W) median depths for the cache).
+    """
+    import dataclasses as _dc
+
+    from ibgs_tpu.ops.epilogue import IBROutputs
+    from ibgs_tpu.renderer import depth_to_normal
+    from ibgs_tpu.train.trainer import (TrainState, ibgs_objective,
+                                        make_lr_config, side_adam)
+    from ibgs_tpu.models.gaussians import accumulate_stats, adam_step
+
+    lrcfg = make_lr_config(opt)
+    dp, n = mesh.shape["dp"], mesh.shape["gs"]
+    assert height % (n * rcfg.tile_h) == 0, \
+        "height must split into n_gs tile-aligned bands"
+
+    def shard_fn(arrays, rest: GaussianModel, app_ab, net_params,
+                 cam_arrays, cam_uid, gts, srcs, iteration, bg, use_app,
+                 burned_in, spatial_lr_scale):
+        model_loc = rest.replace(**arrays)
+        cam = _band_camera(cam_arrays, width, height)
+        band_ix = lax.axis_index("gs")
+        src = jax.tree.map(lambda x: x[0], srcs)
+        gt = gts[0]
+        P_loc = model_loc.capacity
+        sdum = jnp.zeros((P_loc, 2), jnp.float32)
+
+        def loss_fn(params, app_ab_, net_params_, sdum_, sdum_abs_):
+            view = _local_view(model_loc, params, model_loc.alive,
+                               cam.cam_pos, learnt=opt.learnt_normal)
+            view["screen_dummy"] = sdum_
+            view["screen_dummy_abs"] = sdum_abs_
+            render, blend, ibr, extras = exchange_and_blend(
+                view, cam, rcfg, n, band_ix, cap_local, exchange_cap,
+                axis_name="gs", bg=bg, src=src,
+                render_geo=phase.render_geo)
+
+            def gat(x, ax=0):   # band outputs → full frame
+                return lax.all_gather(x, "gs", axis=ax, tiled=True)
+
+            image = gat(render)
+            normal_full = gat(blend.normal)
+            ibr_full, dnormal, median_full = None, None, None
+            if phase.render_geo:
+                ibr_full = IBROutputs(
+                    median_depth=gat(ibr.median_depth),
+                    camera_ray=gat(ibr.camera_ray),
+                    warped_image=gat(ibr.warped_image, 1),
+                    cam_feat=gat(ibr.cam_feat, 1),
+                    min_depth_diff=gat(ibr.min_depth_diff),
+                    valid_src_index=gat(ibr.valid_src_index, 1),
+                    valid_src_weight=gat(ibr.valid_src_weight, 1),
+                    use_first_src_mask=gat(ibr.use_first_src_mask),
+                    low_contrib=gat(ibr.low_contrib),
+                    high_contrib=gat(ibr.high_contrib))
+                median_full = ibr_full.median_depth
+                # exactly renderer.render_view's depth-normal path
+                dn = depth_to_normal(cam, median_full)
+                dnormal = dn * lax.rsqrt(
+                    (dn * dn).sum(-1, keepdims=True) + 1e-16)
+            total, aux = ibgs_objective(
+                opt, phase, net, net_params_, app_ab_, cam_uid[0], image,
+                normal_full, dnormal, ibr_full, gt, iteration, use_app,
+                burned_in)
+            return total / (dp * n), (aux, extras, median_full)
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4),
+                                     has_aux=True)
+        (loss, (aux, extras, median_full)), \
+            (g_params, g_app, g_net, g_sd, g_sda) = grad_fn(
+                model_loc.params, app_ab, net_params, sdum, sdum)
+
+        loss = lax.psum(loss, ("dp", "gs"))
+        # gs shards own disjoint Gaussians (cross-gs terms already arrived
+        # through the collective transposes); only dp replicas reduce
+        g_params = jax.tree.map(lambda g: lax.psum(g, "dp"), g_params)
+        g_sd = lax.psum(g_sd, "dp")
+        g_sda = lax.psum(g_sda, "dp")
+        g_app = jax.tree.map(lambda g: lax.psum(g, ("dp", "gs")), g_app)
+        g_net = jax.tree.map(lambda g: lax.psum(g, ("dp", "gs")), g_net)
+
+        lrs = lr_tree(lrcfg, iteration.astype(jnp.float32),
+                      spatial_lr_scale)
+        model_new = adam_step(model_loc, g_params, lrs)
+        model_new = accumulate_stats(model_new, g_sd, g_sda,
+                                     extras["radius"], width, height)
+
+        aux = {k: lax.psum(v, "dp") / dp for k, v in aux.items()}
+        aux["n_overflow"] = lax.psum(extras["n_overflow"], ("dp", "gs"))
+        aux["n_instances"] = lax.psum(extras["n_instances"],
+                                      ("dp", "gs")) // dp
+        med = (jnp.zeros((1, height, width), jnp.float32)
+               if median_full is None else median_full[None])
+        return (_shard_arrays(model_new), model_new.step, g_app, g_net,
+                loss, aux, med)
+
+    smapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("gs"), P(), P(), P(), P("dp"), P("dp"), P("dp"),
+                  P("dp"), P(), P(), P(), P(), P()),
+        out_specs=(P("gs"), P(), P(), P(), P(), P(), P("dp")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state, cam_arrays, cam_uid, gts, srcs, iteration, bg,
+             use_app, burned_in, net_lr):
+        model = state.model
+        (new_arrays, new_step, g_app, g_net, loss, aux, med) = smapped(
+            _shard_arrays(model), model, state.app_ab, state.net_params,
+            cam_arrays, cam_uid, gts, srcs, iteration, bg, use_app,
+            burned_in, state.spatial_lr_scale)
+        model = model.replace(step=new_step, **new_arrays)
+        app_ab, app_opt = side_adam(state.app_ab, state.app_opt, g_app,
+                                    lr=1e-3, b2=0.99)
+        if phase.use_aggregation:
+            net_params, net_opt = side_adam(
+                state.net_params, state.net_opt, g_net, lr=net_lr)
+        else:
+            net_params, net_opt = state.net_params, state.net_opt
+        aux = dict(aux)
+        aux["loss"] = loss
+        aux["median_depth"] = med
+        new_state = state.replace(model=model, app_ab=app_ab,
+                                  app_opt=app_opt, net_params=net_params,
+                                  net_opt=net_opt)
+        return new_state, aux
+
+    return step
+
+
+def gsp_interleave(model: GaussianModel, n_shards: int) -> GaussianModel:
+    """Deal the model's slot space round-robin across gs shards.
+
+    Gaussian order carries no semantics (the rasterizer depth-sorts), but
+    the P("gs") sharding is BLOCK-wise: a freshly-initialised model
+    (alive = arange < k) puts every alive Gaussian in the first shards and
+    every free slot in the last, so shard-local densification
+    (gsp_densify_fn) could grant nothing.  This one-time permutation sends
+    old row i to shard i % n — alive rows AND free slots spread evenly —
+    and per-shard allocation keeps them balanced thereafter.  Call once
+    when entering GSP training (after init / checkpoint load / capacity
+    growth)."""
+    P_cap = model.capacity
+    assert P_cap % n_shards == 0, (P_cap, n_shards)
+    Pl = P_cap // n_shards
+    # new position p = s*Pl + t holds old row i = t*n + s
+    perm = (jnp.arange(Pl, dtype=jnp.int32)[None, :] * n_shards
+            + jnp.arange(n_shards, dtype=jnp.int32)[:, None]).reshape(-1)
+    moved = {f: jax.tree.map(lambda x: x[perm], getattr(model, f))
+             for f in _SHARD_FIELDS}
+    return model.replace(**moved)
+
+
+def gsp_densify_fn(mesh: Mesh, cfg, max_screen=None):
+    """Sharded densification: each gs shard clones / splits / prunes within
+    its OWN P/n slot pool through the unchanged single-chip
+    densify_and_prune — the rank-based slot allocator is already
+    shard-local (argsorts over the local capacity only), so no collective
+    is needed.  Policy deltas vs the global single-chip pass (documented):
+    the abs-split budget is divided evenly across shards, and slot
+    exhaustion is per-shard — a shard whose pool fills stops granting
+    while others continue (the single-chip quantile back-off equivalent
+    acts per shard).  The densify RNG folds in the shard index so children
+    are decorrelated across shards."""
+    import dataclasses as _dc
+
+    from ibgs_tpu.models.gaussians import densify_and_prune
+
+    n = mesh.shape["gs"]
+    cfg_loc = _dc.replace(cfg, max_abs_split=max(cfg.max_abs_split // n, 1))
+
+    def shard_fn(arrays, rest: GaussianModel, key, extent):
+        model_loc = rest.replace(**arrays)
+        key = jax.random.fold_in(key, lax.axis_index("gs"))
+        out = densify_and_prune(model_loc, key, cfg_loc, extent,
+                                max_screen_size=max_screen)
+        return _shard_arrays(out)
+
+    smapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("gs"), P(), P(), P()),
+        out_specs=P("gs"),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def densify(model: GaussianModel, key, extent):
+        return model.replace(**smapped(_shard_arrays(model), model, key,
+                                       extent))
+
+    return densify
+
+
 def gsp_render(model: GaussianModel, cam: Camera, rcfg: RasterConfig,
                mesh: Mesh, cap_local: int, exchange_cap: int, bg=None,
                learnt_normal=True):
     """Gaussian-sharded render over a 1-d gs mesh (exactness harness;
-    returns the stitched (H, W, 3) image and total overflow count)."""
+    returns the stitched (H, W, 3) image and total overflow count).
+
+    Multi-process ready: when `mesh` spans >1 process (after
+    parallel.distributed.initialize), host-local inputs are device_put to
+    their global shardings first — every process passes the SAME full
+    arrays and receives its addressable shards; the gs all_to_all then
+    crosses the process boundary (ICI/DCN on real pods, TCP on the CPU
+    backend).  The returned image is row-sharded over gs; read
+    `.addressable_shards` per process (scripts/multihost_worker.py)."""
+    from jax.sharding import NamedSharding
+
     n = mesh.shape["gs"]
     cam_arrays = _cam_stack([cam])
 
@@ -289,10 +541,10 @@ def gsp_render(model: GaussianModel, cam: Camera, rcfg: RasterConfig,
         c = _band_camera(cam_arrays, cam.width, cam.height)
         view = _local_view(rest, p_loc, alive_loc, c.cam_pos,
                            learnt=learnt_normal)
-        render, _, _, n_ovf = exchange_and_blend(
+        render, _, _, extras = exchange_and_blend(
             view, c, rcfg, n, lax.axis_index("gs"), cap_local, exchange_cap,
             bg=bg, src=None, render_geo=False)
-        return render[None], lax.psum(n_ovf, "gs")
+        return render[None], lax.psum(extras["n_overflow"], "gs")
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
@@ -300,5 +552,14 @@ def gsp_render(model: GaussianModel, cam: Camera, rcfg: RasterConfig,
         out_specs=(P(None, "gs"), P()),
         check_vma=False,
     )
-    img, ovf = fn(model.params, model.alive, model, cam_arrays)
+    args = (model.params, model.alive, model, cam_arrays)
+    if jax.process_count() > 1:
+        def place(tree, spec):
+            sh = NamedSharding(mesh, spec)
+            return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sh),
+                                tree)
+        args = (place(args[0], P("gs")), place(args[1], P("gs")),
+                place(args[2], P()), place(args[3], P()))
+        fn = jax.jit(fn)
+    img, ovf = fn(*args)
     return img[0], ovf

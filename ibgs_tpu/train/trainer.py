@@ -91,10 +91,8 @@ class StepPhase:
     use_aggregation: bool
 
 
-def make_train_step(opt: OptimizationParams, rcfg: RasterConfig,
-                    net: Optional[aggregation.ColorFusionResidualNet],
-                    phase: StepPhase):
-    lrcfg = LRConfig(
+def make_lr_config(opt: OptimizationParams) -> LRConfig:
+    return LRConfig(
         position_lr_init=opt.position_lr_init,
         position_lr_final=opt.position_lr_final,
         position_lr_delay_mult=opt.position_lr_delay_mult,
@@ -105,6 +103,80 @@ def make_train_step(opt: OptimizationParams, rcfg: RasterConfig,
         rotation_lr=opt.rotation_lr,
         normal_lr=opt.normal_lr,
     )
+
+
+def ibgs_objective(opt: OptimizationParams, phase: StepPhase, net,
+                   net_params, app_ab, cam_uid, image, rendered_normal,
+                   dnormal, ibr, gt, iteration, use_app, burned_in):
+    """The full IBGS training objective (reference train.py:302-366):
+    L1+DSSIM image loss with the AppModel exposure switch, single-view
+    normal consistency, multi-view photometric, and the colour-aggregation
+    loss with its burn-in gating.
+
+    Shared VERBATIM by the single-chip step (make_train_step) and the
+    Gaussian-sharded step (parallel/gsp.py gsp_full_train_step) so the
+    two trainers' semantics cannot drift.  All image-shaped inputs are
+    full-frame (H, W, ...); `ibr` is an IBROutputs (or None when
+    phase.render_geo is False).  Returns (total, aux scalar dict)."""
+    ssim_loss = 1.0 - losses.ssim(image, gt)
+    app_image = renderer.apply_exposure(image, app_ab, cam_uid)
+    l1_plain = losses.l1(image, gt)
+    l1_app = losses.l1(app_image, gt)
+    Ll1 = jnp.where(use_app & (ssim_loss < 0.5), l1_app, l1_plain)
+    image_loss = (1.0 - opt.lambda_dssim) * Ll1 + \
+        opt.lambda_dssim * ssim_loss
+
+    normal_loss = jnp.float32(0.0)
+    photo_loss = jnp.float32(0.0)
+    agg_loss = jnp.float32(0.0)
+    use_agg_now = jnp.bool_(False)
+    if phase.render_geo:
+        gate_n = (iteration > opt.single_view_weight_from_iter
+                  ).astype(jnp.float32)
+        normal_loss = gate_n * losses.normal_consistency(
+            rendered_normal, dnormal,
+            opt.single_view_weight)
+
+        gate_p = (iteration > opt.multi_view_weight_from_iter
+                  ).astype(jnp.float32)
+        warped = ibr.warped_image[:opt.nb_visible_src_frames]
+        feat = ibr.cam_feat[:opt.nb_visible_src_frames]
+        valid = feat.sum(-1) > 0.0
+        photo_loss = gate_p * losses.multi_view_photometric(
+            gt, warped, valid, opt.photo_ssim_weight, opt.photo_weight)
+
+        if phase.use_aggregation:
+            fusion = aggregation.fuse_color(
+                net, net_params, image,
+                ibr.warped_image, ibr.cam_feat,
+                ibr.camera_ray, ibr.min_depth_diff,
+                ibr.use_first_src_mask,
+                burned_in, opt.nb_visible_src_frames,
+                opt.enable_exposure_correction,
+                opt.residual_resolution_scale,
+                opt.enable_mix_precision,
+            )
+            pred = fusion["image_pred"]
+            agg_ssim = 1.0 - losses.ssim(pred, gt)
+            agg_l1 = losses.l1(pred, gt)
+            agg_loss = (1.0 - opt.lambda_dssim) * agg_l1 + \
+                opt.lambda_dssim * agg_ssim
+            use_agg_now = fusion["any_valid"]
+
+    total = normal_loss + photo_loss + jnp.where(
+        use_agg_now, 0.5 * (image_loss + agg_loss), image_loss)
+    aux = dict(
+        image_loss=image_loss, normal_loss=normal_loss,
+        photo_loss=photo_loss, agg_loss=agg_loss, l1=Ll1,
+        psnr=losses.psnr(jnp.clip(image, 0, 1), gt),
+    )
+    return total, aux
+
+
+def make_train_step(opt: OptimizationParams, rcfg: RasterConfig,
+                    net: Optional[aggregation.ColorFusionResidualNet],
+                    phase: StepPhase):
+    lrcfg = make_lr_config(opt)
 
     def loss_fn(params, app_ab, net_params, sdum, sdum_abs,
                 state: TrainState, cam: Camera, cam_uid, gt, src, iteration,
@@ -117,61 +189,11 @@ def make_train_step(opt: OptimizationParams, rcfg: RasterConfig,
             return_depth_normal=phase.render_geo,
             screen_dummy=sdum, screen_dummy_abs=sdum_abs,
         )
-        image = res.render
-        ssim_loss = 1.0 - losses.ssim(image, gt)
-        app_image = renderer.apply_exposure(image, app_ab, cam_uid)
-        l1_plain = losses.l1(image, gt)
-        l1_app = losses.l1(app_image, gt)
-        Ll1 = jnp.where(use_app & (ssim_loss < 0.5), l1_app, l1_plain)
-        image_loss = (1.0 - opt.lambda_dssim) * Ll1 + \
-            opt.lambda_dssim * ssim_loss
-
-        normal_loss = jnp.float32(0.0)
-        photo_loss = jnp.float32(0.0)
-        agg_loss = jnp.float32(0.0)
-        use_agg_now = jnp.bool_(False)
-        if phase.render_geo:
-            gate_n = (iteration > opt.single_view_weight_from_iter
-                      ).astype(jnp.float32)
-            normal_loss = gate_n * losses.normal_consistency(
-                res.normal, dnormal,
-                opt.single_view_weight)
-
-            gate_p = (iteration > opt.multi_view_weight_from_iter
-                      ).astype(jnp.float32)
-            warped = res.ibr.warped_image[:opt.nb_visible_src_frames]
-            feat = res.ibr.cam_feat[:opt.nb_visible_src_frames]
-            valid = feat.sum(-1) > 0.0
-            photo_loss = gate_p * losses.multi_view_photometric(
-                gt, warped, valid, opt.photo_ssim_weight, opt.photo_weight)
-
-            if phase.use_aggregation:
-                fusion = aggregation.fuse_color(
-                    net, net_params, image,
-                    res.ibr.warped_image, res.ibr.cam_feat,
-                    res.ibr.camera_ray, res.ibr.min_depth_diff,
-                    res.ibr.use_first_src_mask,
-                    burned_in, opt.nb_visible_src_frames,
-                    opt.enable_exposure_correction,
-                    opt.residual_resolution_scale,
-                    opt.enable_mix_precision,
-                )
-                pred = fusion["image_pred"]
-                agg_ssim = 1.0 - losses.ssim(pred, gt)
-                agg_l1 = losses.l1(pred, gt)
-                agg_loss = (1.0 - opt.lambda_dssim) * agg_l1 + \
-                    opt.lambda_dssim * agg_ssim
-                use_agg_now = fusion["any_valid"]
-
-        total = normal_loss + photo_loss + jnp.where(
-            use_agg_now, 0.5 * (image_loss + agg_loss), image_loss)
-        aux = dict(
-            image_loss=image_loss, normal_loss=normal_loss,
-            photo_loss=photo_loss, agg_loss=agg_loss, l1=Ll1,
-            psnr=losses.psnr(jnp.clip(image, 0, 1), gt),
-            radii=res.radii, median_depth=res.median_depth,
-            n_instances=res.n_instances,
-        )
+        total, aux = ibgs_objective(
+            opt, phase, net, net_params, app_ab, cam_uid, res.render,
+            res.normal, dnormal, res.ibr, gt, iteration, use_app, burned_in)
+        aux.update(radii=res.radii, median_depth=res.median_depth,
+                   n_instances=res.n_instances)
         return total, aux
 
     @jax.jit

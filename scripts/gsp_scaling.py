@@ -55,6 +55,13 @@ def main():
                        cfg.tile_h, cfg.tile_w, alive=model.alive)
     total_inst = int(jnp.where(sp.n_tiles > 0, sp.n_tiles, 0).sum())
 
+    # --time additionally records the wall-clock scaling protocol
+    # (BASELINE.json >=0.8 efficiency target): K chained renders per mesh
+    # size, efficiency = t(1) / (t(n)) — on this image the 8 virtual CPU
+    # devices share one host's cores, so the numbers measure PROTOCOL
+    # readiness, not ICI scaling; re-run unchanged on a real pod slice.
+    do_time = "--time" in sys.argv
+    t_base = None
     for gs in (1, 2, 4, 8):
         mesh = make_mesh(1, gs, axis_names=("dp", "gs"))
         img, ovf = gsp_render(model, cam, cfg, mesh,
@@ -62,7 +69,7 @@ def main():
                               exchange_cap=-(-65536 // (gs * gs)),
                               bg=jnp.zeros(3))
         err = float(np.abs(np.asarray(img) - ref).max())
-        print(json.dumps({
+        row = {
             "gs": gs,
             "gaussians_per_device": model.capacity // gs,
             "instances_binned_per_device_cap": -(-65536 // gs),
@@ -71,7 +78,27 @@ def main():
             "overflow": int(ovf),
             "max_err_vs_replicated": err,
             "exact": bool(err < 1e-5),
-        }), flush=True)
+        }
+        if do_time:
+            import time
+            for _ in range(2):                      # warm the jit cache
+                jax.block_until_ready(gsp_render(
+                    model, cam, cfg, mesh, cap_local=-(-65536 // gs),
+                    exchange_cap=-(-65536 // (gs * gs)),
+                    bg=jnp.zeros(3))[0])
+            t0 = time.perf_counter()
+            K = 5
+            for _ in range(K):
+                jax.block_until_ready(gsp_render(
+                    model, cam, cfg, mesh, cap_local=-(-65536 // gs),
+                    exchange_cap=-(-65536 // (gs * gs)),
+                    bg=jnp.zeros(3))[0])
+            dt = (time.perf_counter() - t0) / K
+            t_base = t_base or dt
+            row.update(wall_ms=round(dt * 1e3, 2),
+                       rays_per_s=round(W * H / dt, 0),
+                       efficiency_vs_1dev=round(t_base / dt, 3))
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,24 @@ def main():
 
     timed(fwd_only, "blend_fwd")
     timed(fwd_bwd, "blend_fwd_bwd")
+
+    # Mosaic-under-shard_map hardware smoke (VERDICT r2 #8): all sharded
+    # tests/dryruns run interpret mode on CPU; this is the one place the
+    # REAL kernel executes inside shard_map on a TPU (1x1 mesh).
+    from jax.sharding import Mesh, PartitionSpec as P
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("gs",))
+
+    def shard_fn(f):
+        outs = bp._blend_core(static, f, startj, stopj, scal)
+        return (outs[0].sum() + outs[2].sum() + outs[4].sum())[None]
+
+    fn = jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=P(),
+                               out_specs=P("gs"), check_vma=False))
+    v_smap = float(fn(featsT)[0])
+    v_ref = float(jax.jit(fwd_only)(featsT))
+    rel = abs(v_smap - v_ref) / max(abs(v_ref), 1.0)
+    emit("shard_map_smoke", value=v_smap, ref=v_ref, rel_err=rel,
+         ok=bool(np.isfinite(v_smap) and rel < 1e-5))
     emit("done")
 
 

@@ -36,11 +36,17 @@ def _model(seed=0, n=60, cap=128, H=128, W=32):
     return model, cam
 
 
-def test_gsp_render_matches_single():
+@pytest.mark.parametrize("stair", [False, True])
+def test_gsp_render_matches_single(stair):
+    """Exact vs the replicated renderer — with the staircase expansion ON
+    the bins (and the all_to_all exchange volume) shrink before the
+    exchange, and the result must stay exact (VERDICT r2 #5)."""
+    import dataclasses
     assert len(jax.devices()) >= 8
     model, cam = _model(seed=1, n=60, cap=128, H=128, W=32)
+    cfg = dataclasses.replace(CFG, staircase_cull=stair, row_cap=1024)
     mesh = make_mesh(1, 8, axis_names=("dp", "gs"))
-    img, ovf = gsp_render(model, cam, CFG, mesh, cap_local=1024,
+    img, ovf = gsp_render(model, cam, cfg, mesh, cap_local=1024,
                           exchange_cap=512, bg=jnp.array([0.2, 0.3, 0.4]))
     ref, _ = render_view(model, cam, CFG, jnp.array([0.2, 0.3, 0.4]),
                          render_geo=False, return_depth_normal=False)
@@ -103,6 +109,141 @@ def test_gsp_train_step_matches_replicated():
     for i in range(2, 6):
         m, l, _ = gstep(m, ca, gts, srcs, jnp.int32(i))
     assert np.isfinite(float(l)) and float(l) < float(l0)
+
+
+def test_gsp_full_objective_matches_single():
+    """The FULL IBGS objective (image + normal-consistency + multi-view
+    photometric + aggregation-net losses, AppModel exposure, densify-stat
+    dummies) under Gaussian-sharded SPMD must match the single-chip
+    make_train_step: same loss/aux scalars and the same post-Adam params
+    up to the documented sign-step bound (fresh-state Adam updates are
+    lr·g/(|g|+eps) ≈ ±lr, so an element whose gradient is at the f32
+    reduction-order noise floor can flip its whole ±lr step — the
+    per-element bound is 2·lr per group, with the loss match carrying the
+    exactness claim)."""
+    assert len(jax.devices()) >= 4
+    from ibgs_tpu.config import OptimizationParams
+    from ibgs_tpu.models import aggregation
+    from ibgs_tpu.parallel.gsp import gsp_full_train_step
+    from ibgs_tpu.renderer import render_depth_view
+    from ibgs_tpu.train.trainer import (SideOptState, StepPhase, TrainState,
+                                        make_train_step)
+
+    model, cam = _model(seed=5, n=60, cap=128, H=128, W=32)
+    H, W, S = 128, 32, 3
+    opt = OptimizationParams(
+        use_color_aggregation=True, number_src_frames=S,
+        nb_visible_src_frames=2, single_view_weight_from_iter=0,
+        multi_view_weight_from_iter=0, start_color_aggregation_iter=0,
+        position_lr_max_steps=100)
+    phase = StepPhase(render_geo=True, use_aggregation=True)
+    net = aggregation.ColorFusionResidualNet(
+        feat_aggregate_mode=opt.feat_aggregate_mode)
+    net_params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((H, W, 2, 7)), jnp.zeros((H, W, 3)),
+                          jnp.zeros((H, W, 3)))
+    state = TrainState(
+        model=model,
+        app_ab=jnp.zeros((1600, 2), jnp.float32),
+        app_opt=SideOptState.init(jnp.zeros((1600, 2))),
+        net_params=net_params,
+        net_opt=SideOptState.init(net_params),
+        spatial_lr_scale=jnp.float32(1.0),
+    )
+    # source views whose cached depth equals this view's own render →
+    # the occlusion test passes and the photometric/aggregation paths see
+    # valid warps (ref_to_src = identity)
+    d0 = render_depth_view(model, cam, CFG)
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    src = SourceViews(
+        images=jax.random.uniform(ks[0], (S, H, W, 3)),
+        depths=jnp.tile(d0[None], (S, 1, 1)),
+        ref_to_src=jnp.tile(jnp.eye(4)[None], (S, 1, 1)),
+        cam_pos=jax.random.normal(ks[1], (S, 3)) * 0.05,
+        count=jnp.int32(S))
+    gt = jax.random.uniform(jax.random.PRNGKey(9), (H, W, 3))
+    it, bg = jnp.int32(5), jnp.zeros(3)
+    use_app, burned = jnp.bool_(True), jnp.float32(1.0)
+    net_lr = jnp.float32(1e-4)
+
+    sstep = make_train_step(opt, CFG, net, phase)
+    s1, aux1 = sstep(state, cam, jnp.int32(0), gt, src, it, bg,
+                     use_app, burned, net_lr)
+
+    mesh = make_mesh(1, 4, axis_names=("dp", "gs"))
+    gstep = gsp_full_train_step(opt, CFG, net, phase, mesh, W, H,
+                                cap_local=2048, exchange_cap=1024)
+    srcs = jax.tree.map(lambda x: x[None], src)
+    s2, aux2 = gstep(state, _cam_stack([cam]), jnp.zeros((1,), jnp.int32),
+                     gt[None], srcs, it, bg, use_app, burned, net_lr)
+
+    assert int(aux2["n_overflow"]) == 0
+    for k in ("image_loss", "normal_loss", "photo_loss", "agg_loss", "l1",
+              "psnr"):
+        a, b = float(aux1[k]), float(aux2[k])
+        assert abs(a - b) <= 2e-5 * max(abs(a), 1.0), (k, a, b)
+    np.testing.assert_allclose(np.asarray(aux2["median_depth"][0]),
+                               np.asarray(aux1["median_depth"]),
+                               rtol=1e-5, atol=1e-6)
+
+    # post-step params: per-group sign-step bound (docstring)
+    lrs = dict(xyz=1.6e-4, sh_dc=2.5e-3, sh_rest=1.25e-4, log_scale=5e-3,
+               quat=1e-3, opacity_logit=2.5e-2, normal=1e-3, offset=8e-5)
+    for f, lr in lrs.items():
+        a = np.asarray(getattr(s1.model.params, f))
+        b = np.asarray(getattr(s2.model.params, f))
+        if a.size == 0:      # sh_rest is (P, 0, 3) at sh degree 0
+            continue
+        d = np.abs(a - b)
+        assert d.max() <= 2.05 * lr, (f, d.max(), lr)
+        assert (d > 1e-6).mean() < 0.05, (f, (d > 1e-6).mean())
+    # densify statistics accumulated identically (pure data-plane values)
+    np.testing.assert_allclose(np.asarray(s1.model.grad_accum),
+                               np.asarray(s2.model.grad_accum),
+                               rtol=1e-3, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(s1.model.denom),
+                                  np.asarray(s2.model.denom))
+    # AppModel + aggregation-net updates match within the same mechanism
+    np.testing.assert_allclose(np.asarray(s1.app_ab), np.asarray(s2.app_ab),
+                               atol=2.1e-3)
+    for la, lb in zip(jax.tree.leaves(s1.net_params),
+                      jax.tree.leaves(s2.net_params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=2.1 * float(net_lr))
+
+
+def test_gsp_densify_is_shard_local():
+    """gsp_densify_fn allocates clone/split slots within each shard's own
+    pool; after gsp_interleave spreads alive rows and free slots evenly,
+    alive counts grow, dead-slot surgery stays masked, and the step
+    remains runnable afterwards."""
+    from ibgs_tpu.models.gaussians import DensifyConfig
+    from ibgs_tpu.parallel.gsp import gsp_densify_fn, gsp_interleave
+
+    model, cam = _model(seed=6, n=64, cap=128, H=128, W=32)
+    # force clones: every alive splat flagged high-gradient and small
+    model = model.replace(
+        grad_accum=jnp.where(model.alive, 1.0, 0.0),
+        denom=jnp.where(model.alive, 1.0, 0.0),
+    )
+    # without the interleave the block-wise sharding packs every alive row
+    # into shards 0-1 and every free slot into shards 2-3 → zero grants
+    model = gsp_interleave(model, 4)
+    assert np.asarray(model.alive).reshape(4, -1).sum(1).std() == 0.0
+    mesh = make_mesh(1, 4, axis_names=("dp", "gs"))
+    dens = gsp_densify_fn(mesh, DensifyConfig(grad_threshold=1e-9,
+                                              percent_dense=10.0))
+    m2 = dens(model, jax.random.PRNGKey(0), jnp.float32(1.0))
+    assert int(m2.n_alive) > int(model.n_alive)
+    # stats were reset
+    assert float(m2.grad_accum.sum()) == 0.0
+    # per-shard allocation: every shard of 32 slots gained splats
+    alive = np.asarray(m2.alive).reshape(4, -1)
+    before = np.asarray(model.alive).reshape(4, -1)
+    assert (alive.sum(1) >= before.sum(1)).all()
+    img, ovf = gsp_render(jax.device_get(m2), cam, CFG, mesh,
+                          cap_local=2048, exchange_cap=1024)
+    assert np.isfinite(np.asarray(img)).all()
 
 
 def test_gsp_overflow_counter():
