@@ -34,6 +34,12 @@ class ModelParams:
 class PipelineParams:
     backend: str = "pallas"            # "pallas" | "oracle"
     instance_cap: int = 1 << 20
+    # staircase-interval binning (RasterConfig.staircase_cull): 13-16%
+    # fewer tile instances at bench scales, measured faster on v5e at
+    # 960x544 AND 1080p.  row_cap = 0 → instance_cap // 2; the train loop
+    # grows it on overflow exactly like instance_cap.
+    staircase_cull: bool = False
+    row_cap: int = 0
     debug: bool = False
     # jax.profiler capture window (Perfetto/TensorBoard traces); off when
     # profile_num_steps == 0.  Trace lands in <model_path>/trace unless

@@ -95,6 +95,7 @@ class RenderResult:
     median_depth: jnp.ndarray        # (H, W)
     n_instances: jnp.ndarray         # () int32 (overflow diagnostics)
     ibr: Optional[IBROutputs]        # image-based outputs (render_geo only)
+    n_rows: jnp.ndarray = 0          # () int32 staircase rows (0 = AABB)
 
 
 def _padded(size: int, tile: int) -> int:
@@ -303,4 +304,5 @@ def rasterize(
         median_depth=median,
         n_instances=bins.n_instances,
         ibr=ibr,
+        n_rows=bins.n_rows,
     )

@@ -63,6 +63,8 @@ def train(
         depth_error_threshold=opt.depth_error_threshold,
         backend=pipe.backend,
         mix_precision=opt.enable_mix_precision,
+        staircase_cull=pipe.staircase_cull,
+        row_cap=pipe.row_cap,
     )
 
     model = init_from_points(scene.points, scene.colors, mp.sh_degree)
@@ -278,14 +280,29 @@ def train(
         # truncating the deepest Gaussians (binning.py caps at instance_cap;
         # mirrors the P-capacity growth below) ----
         if it % 100 == 0 or it == first_iter:
+            import dataclasses as _dc
+            grew = False
             n_inst = int(aux["n_instances"])
             if n_inst > rcfg.instance_cap:
-                import dataclasses as _dc
                 newcap = 1 << int(np.ceil(np.log2(n_inst * 1.25)))
                 print(f"[it {it}] WARNING: tile instances {n_inst} exceed "
                       f"instance_cap {rcfg.instance_cap} (deepest splats "
                       f"dropped); growing cap -> {newcap} and recompiling")
                 rcfg = _dc.replace(rcfg, instance_cap=newcap)
+                grew = True
+            if rcfg.staircase_cull:
+                # staircase tile-ROW capacity: same prefix-truncation
+                # semantics, same growth policy
+                n_rows = int(aux.get("n_rows", 0))
+                row_eff = rcfg.row_cap or rcfg.instance_cap // 2
+                if n_rows > row_eff:
+                    newrows = 1 << int(np.ceil(np.log2(n_rows * 1.25)))
+                    print(f"[it {it}] WARNING: staircase rows {n_rows} "
+                          f"exceed row_cap {row_eff}; growing -> {newrows} "
+                          f"and recompiling")
+                    rcfg = _dc.replace(rcfg, row_cap=newrows)
+                    grew = True
+            if grew:
                 steps.clear()
                 eval_render = make_eval_render(rcfg)
 

@@ -193,7 +193,8 @@ def make_train_step(opt: OptimizationParams, rcfg: RasterConfig,
             opt, phase, net, net_params, app_ab, cam_uid, res.render,
             res.normal, dnormal, res.ibr, gt, iteration, use_app, burned_in)
         aux.update(radii=res.radii, median_depth=res.median_depth,
-                   n_instances=res.n_instances)
+                   n_instances=res.n_instances,
+                   n_rows=jnp.asarray(res.n_rows, jnp.int32))
         return total, aux
 
     @jax.jit

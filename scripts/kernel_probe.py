@@ -44,26 +44,39 @@ def main():
     cap = -(-n_inst // bp.CHUNK) * bp.CHUNK + bp.CHUNK
 
     rng = np.random.default_rng(0)
-    # uniform split of instances over tiles, realistic splat stats
-    per = n_inst // num_tiles
-    start = (np.arange(num_tiles) * per).astype(np.int32)
-    stop = np.concatenate([start[1:], [n_inst]]).astype(np.int32)
+    data_path = os.environ.get("KP_DATA")
+    if data_path:
+        # real binning data exported from the bench scene (feats (cap', 15),
+        # tile_start/stop) — isolates whether the in-bench kernel time gap
+        # vs this synthetic harness is data-content or attribution
+        d = np.load(data_path)
+        n_inst = int(d["n"])
+        cap = -(-d["feats"].shape[0] // bp.CHUNK) * bp.CHUNK
+        feats = np.zeros((cap, bp.CF), np.float32)
+        feats[: d["feats"].shape[0], : d["feats"].shape[1]] = d["feats"]
+        start, stop = d["start"], d["stop"]
+        assert start.size == num_tiles, (start.size, num_tiles)
+    else:
+        # uniform split of instances over tiles, realistic splat stats
+        per = n_inst // num_tiles
+        start = (np.arange(num_tiles) * per).astype(np.int32)
+        stop = np.concatenate([start[1:], [n_inst]]).astype(np.int32)
 
-    feats = np.zeros((cap, bp.CF), np.float32)
-    tile_of = np.repeat(np.arange(num_tiles), per)
-    tile_of = np.concatenate(
-        [tile_of, np.full(n_inst - tile_of.size, num_tiles - 1)])
-    cx_t = (tile_of % tiles_x) * tw + tw / 2
-    cy_t = (tile_of // tiles_x) * th + th / 2
-    feats[:n_inst, bp.FX] = cx_t + rng.normal(0, 6, n_inst)
-    feats[:n_inst, bp.FY] = cy_t + rng.normal(0, 6, n_inst)
-    sig = rng.uniform(2.0, 8.0, n_inst)
-    feats[:n_inst, bp.FCA] = 1.0 / sig**2
-    feats[:n_inst, bp.FCC] = 1.0 / sig**2
-    feats[:n_inst, bp.FOP] = rng.uniform(0.02, 0.9, n_inst)
-    feats[:n_inst, bp.FR:bp.FB + 1] = rng.random((n_inst, 3))
-    feats[:n_inst, bp.FNX:bp.FNZ + 1] = np.array([0.0, 0.0, 1.0])
-    feats[:n_inst, bp.FD] = -rng.uniform(1.0, 5.0, n_inst)
+        feats = np.zeros((cap, bp.CF), np.float32)
+        tile_of = np.repeat(np.arange(num_tiles), per)
+        tile_of = np.concatenate(
+            [tile_of, np.full(n_inst - tile_of.size, num_tiles - 1)])
+        cx_t = (tile_of % tiles_x) * tw + tw / 2
+        cy_t = (tile_of // tiles_x) * th + th / 2
+        feats[:n_inst, bp.FX] = cx_t + rng.normal(0, 6, n_inst)
+        feats[:n_inst, bp.FY] = cy_t + rng.normal(0, 6, n_inst)
+        sig = rng.uniform(2.0, 8.0, n_inst)
+        feats[:n_inst, bp.FCA] = 1.0 / sig**2
+        feats[:n_inst, bp.FCC] = 1.0 / sig**2
+        feats[:n_inst, bp.FOP] = rng.uniform(0.02, 0.9, n_inst)
+        feats[:n_inst, bp.FR:bp.FB + 1] = rng.random((n_inst, 3))
+        feats[:n_inst, bp.FNX:bp.FNZ + 1] = np.array([0.0, 0.0, 1.0])
+        feats[:n_inst, bp.FD] = -rng.uniform(1.0, 5.0, n_inst)
 
     cfg = BlendConfig(tile_h=th, tile_w=tw, buffer_len=4,
                       render_geo=True, depth_only=False)

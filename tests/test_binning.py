@@ -358,6 +358,37 @@ def test_staircase_cull_is_output_and_grad_preserving():
     assert so[-1] == int(b_stair.n_instances) and (np.diff(so) >= 0).all()
 
 
+def test_staircase_pallas_matches_oracle():
+    """The Pallas kernel consumes staircase bins identically to the oracle
+    (the kernel walks tile ranges; only the binning changed)."""
+    import dataclasses
+
+    from ibgs_tpu.ops.rasterize import RasterConfig, rasterize
+    from tests.utils import face_camera as _fc
+
+    cam = simple_camera(64, 48)
+    p = _fc(random_cloud(jax.random.PRNGKey(4), 80, scale_rng=(-2.5, -1.2)),
+            cam)
+    cfg_o = RasterConfig(instance_cap=8192, backend="oracle",
+                         staircase_cull=True, row_cap=4096)
+    cfg_p = dataclasses.replace(cfg_o, backend="pallas")
+
+    def run(cfg):
+        return rasterize(
+            xyz=p["xyz"], scale=p["scale"], quat=p["quat"],
+            opacity=p["opacity"], sh_coeffs=p["sh_coeffs"],
+            active_sh_degree=0, normal_world=p["normal_world"],
+            plane_offset=p["plane_offset"], cam=cam,
+            bg=jnp.array([0.1, 0.2, 0.3]), cfg=cfg, render_geo=False)
+
+    ro, rp = run(cfg_o), run(cfg_p)
+    np.testing.assert_allclose(np.asarray(rp.render), np.asarray(ro.render),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rp.final_t),
+                               np.asarray(ro.final_t), rtol=1e-5, atol=1e-6)
+    assert int(ro.n_rows) == int(rp.n_rows) > 0
+
+
 def test_staircase_row_truncation_is_prefix():
     """Row overflow must drop the DEEPEST gaussians' rows (prefix
     semantics, like instance_cap) and report n_rows pre-truncation."""

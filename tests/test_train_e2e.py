@@ -47,6 +47,25 @@ def test_training_improves_psnr(tmp_path):
     assert float(jnp.abs(stacks["depths"]).sum()) > 0
 
 
+def test_staircase_row_cap_overflow_grows(tmp_path, capsys):
+    """With staircase binning in the trainer (PipelineParams.staircase_cull)
+    a too-small row_cap must grow + recompile, mirroring instance_cap."""
+    scene = make_synthetic_scene(n_views=4, width=32, height=32,
+                                 n_gt=300, n_seed=150)
+    opt = OptimizationParams(
+        iterations=2, use_color_aggregation=False,
+        single_view_weight_from_iter=10_000,
+        multi_view_weight_from_iter=10_000,
+        number_src_frames=2, position_lr_max_steps=10)
+    pipe = PipelineParams(backend="oracle", instance_cap=1 << 14,
+                          staircase_cull=True, row_cap=16)
+    train(scene, ModelParams(sh_degree=0), opt, pipe,
+          model_path=str(tmp_path), save_iterations=(), test_iterations=(),
+          log_every=1, quiet=True)
+    out = capsys.readouterr().out
+    assert "staircase rows" in out and "growing" in out, out
+
+
 def test_instance_cap_overflow_grows(tmp_path, capsys):
     """An overflowing tile-instance count must trigger a cap growth +
     recompile instead of silently truncating the deepest Gaussians
