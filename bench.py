@@ -68,9 +68,11 @@ def main():
     # before slot assignment): 13-16% fewer instances, so the snug default
     # cap shrinks with it.
     stair = os.environ.get("BENCH_STAIR", "1") == "1"
-    # snug staircase sizes (measured on this scene: 803,478 instances /
-    # 250,391 rows at 960x544; 2,171,861 / 399,412 at 1920x1088)
-    cap = int(os.environ.get("BENCH_CAP", 965_000 if stair else 1_113_600))
+    # snug sizes for the default 16x32 tiles (measured on this scene at
+    # 960x544: staircase 524,208 instances / 250,391 rows, AABB 588,659;
+    # at 1920x1088 staircase 1,282,557 / 399,412 — pass BENCH_CAP /
+    # BENCH_ROWCAP explicitly for non-default resolutions/tiles)
+    cap = int(os.environ.get("BENCH_CAP", 629_000 if stair else 707_000))
     rowcap = int(os.environ.get("BENCH_ROWCAP", 301_000 if stair else 0))
     capacity = int(os.environ.get("BENCH_CAPACITY", 131_072))
 
@@ -84,7 +86,11 @@ def main():
     # enable_mix_precision defaults True in the reference config; on TPU it
     # additionally keeps the warp tables bf16 (see RasterConfig)
     mixp = os.environ.get("BENCH_MIXP", "1") == "1"
-    th, tw = (int(x) for x in os.environ.get("BENCH_TILE", "16x16").split("x"))
+    # 16x32 tiles measured fastest on v5e at the bench scene (fwd+bwd
+    # 119.0 ms vs 128.0 at 16x16, 120.5 at 32x32, 159.8 at 8x16): the
+    # kernel is issue-bound per 128-instance substep, so fewer, wider
+    # tiles win until the vector work catches up at NP=1024.
+    th, tw = (int(x) for x in os.environ.get("BENCH_TILE", "16x32").split("x"))
     cfg = RasterConfig(instance_cap=cap, backend=backend, mix_precision=mixp,
                        tile_h=th, tile_w=tw, staircase_cull=stair,
                        row_cap=rowcap)

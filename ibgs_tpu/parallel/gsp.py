@@ -519,6 +519,51 @@ def gsp_densify_fn(mesh: Mesh, cfg, max_screen=None):
     return densify
 
 
+def make_gsp_render(width: int, height: int, rcfg: RasterConfig,
+                    mesh: Mesh, cap_local: int, exchange_cap: int,
+                    learnt_normal=True):
+    """Build a reusable Gaussian-sharded renderer for a fixed geometry:
+    returns `render(model, cam, bg) -> ((H, W, 3) image, overflow)`.
+    Repeated calls reuse one traced shard_map (gsp_render builds a fresh
+    closure per call — fine for one-shot exactness checks, a retrace per
+    frame for timing sweeps)."""
+    n = mesh.shape["gs"]
+
+    def shard_fn(p_loc, alive_loc, rest, cam_arrays, bg):
+        c = _band_camera(cam_arrays, width, height)
+        view = _local_view(rest, p_loc, alive_loc, c.cam_pos,
+                           learnt=learnt_normal)
+        render, _, _, extras = exchange_and_blend(
+            view, c, rcfg, n, lax.axis_index("gs"), cap_local, exchange_cap,
+            bg=bg, src=None, render_geo=False)
+        return render[None], lax.psum(extras["n_overflow"], "gs")
+
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("gs"), P("gs"), P(), P(), P()),
+        out_specs=(P(None, "gs"), P()),
+        check_vma=False,
+    ))
+
+    def render(model: GaussianModel, cam: Camera, bg=None):
+        bg = jnp.zeros(3) if bg is None else bg
+        args = (model.params, model.alive, model, _cam_stack([cam]), bg)
+        if jax.process_count() > 1:
+            from jax.sharding import NamedSharding
+
+            def place(tree, spec):
+                sh = NamedSharding(mesh, spec)
+                return jax.tree.map(
+                    lambda x: jax.device_put(jnp.asarray(x), sh), tree)
+            args = (place(args[0], P("gs")), place(args[1], P("gs")),
+                    place(args[2], P()), place(args[3], P()),
+                    place(args[4], P()))
+        img, ovf = fn(*args)
+        return img[0], ovf
+
+    return render
+
+
 def gsp_render(model: GaussianModel, cam: Camera, rcfg: RasterConfig,
                mesh: Mesh, cap_local: int, exchange_cap: int, bg=None,
                learnt_normal=True):
@@ -532,34 +577,5 @@ def gsp_render(model: GaussianModel, cam: Camera, rcfg: RasterConfig,
     crosses the process boundary (ICI/DCN on real pods, TCP on the CPU
     backend).  The returned image is row-sharded over gs; read
     `.addressable_shards` per process (scripts/multihost_worker.py)."""
-    from jax.sharding import NamedSharding
-
-    n = mesh.shape["gs"]
-    cam_arrays = _cam_stack([cam])
-
-    def shard_fn(p_loc, alive_loc, rest, cam_arrays):
-        c = _band_camera(cam_arrays, cam.width, cam.height)
-        view = _local_view(rest, p_loc, alive_loc, c.cam_pos,
-                           learnt=learnt_normal)
-        render, _, _, extras = exchange_and_blend(
-            view, c, rcfg, n, lax.axis_index("gs"), cap_local, exchange_cap,
-            bg=bg, src=None, render_geo=False)
-        return render[None], lax.psum(extras["n_overflow"], "gs")
-
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P("gs"), P("gs"), P(), P()),
-        out_specs=(P(None, "gs"), P()),
-        check_vma=False,
-    )
-    args = (model.params, model.alive, model, cam_arrays)
-    if jax.process_count() > 1:
-        def place(tree, spec):
-            sh = NamedSharding(mesh, spec)
-            return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sh),
-                                tree)
-        args = (place(args[0], P("gs")), place(args[1], P("gs")),
-                place(args[2], P()), place(args[3], P()))
-        fn = jax.jit(fn)
-    img, ovf = fn(*args)
-    return img[0], ovf
+    return make_gsp_render(cam.width, cam.height, rcfg, mesh, cap_local,
+                           exchange_cap, learnt_normal)(model, cam, bg)

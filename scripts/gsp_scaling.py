@@ -81,18 +81,17 @@ def main():
         }
         if do_time:
             import time
-            for _ in range(2):                      # warm the jit cache
-                jax.block_until_ready(gsp_render(
-                    model, cam, cfg, mesh, cap_local=-(-65536 // gs),
-                    exchange_cap=-(-65536 // (gs * gs)),
-                    bg=jnp.zeros(3))[0])
+
+            from ibgs_tpu.parallel.gsp import make_gsp_render
+            rfn = make_gsp_render(W, H, cfg, mesh,
+                                  cap_local=-(-65536 // gs),
+                                  exchange_cap=-(-65536 // (gs * gs)))
+            for _ in range(2):                      # warm the trace cache
+                jax.block_until_ready(rfn(model, cam, jnp.zeros(3))[0])
             t0 = time.perf_counter()
-            K = 5
+            K = 10
             for _ in range(K):
-                jax.block_until_ready(gsp_render(
-                    model, cam, cfg, mesh, cap_local=-(-65536 // gs),
-                    exchange_cap=-(-65536 // (gs * gs)),
-                    bg=jnp.zeros(3))[0])
+                jax.block_until_ready(rfn(model, cam, jnp.zeros(3))[0])
             dt = (time.perf_counter() - t0) / K
             t_base = t_base or dt
             row.update(wall_ms=round(dt * 1e3, 2),

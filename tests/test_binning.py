@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ibgs_tpu.ops import binning, preprocess
 from tests.utils import face_camera, random_cloud, simple_camera
@@ -93,6 +94,7 @@ def test_pack_rows_vjp_matches_autodiff():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_exact_tile_cull_is_output_and_grad_preserving():
     """bin_splats' exact tile/ellipse cull only retags instances the blend
     kernel's per-pixel alpha >= 1/255 ok-gate skips anyway: full geo
@@ -180,6 +182,7 @@ def test_exact_tile_cull_is_output_and_grad_preserving():
     assert kept_on < kept_off, (kept_on, kept_off)
 
 
+@pytest.mark.slow
 def test_staircase_cull_is_output_and_grad_preserving():
     """The staircase-interval expansion (kept-tile counting BEFORE slot
     assignment) must keep a superset of the exact per-tile cull's

@@ -36,6 +36,7 @@ def _model(seed=0, n=60, cap=128, H=128, W=32):
     return model, cam
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("stair", [False, True])
 def test_gsp_render_matches_single(stair):
     """Exact vs the replicated renderer — with the staircase expansion ON
@@ -55,6 +56,7 @@ def test_gsp_render_matches_single(stair):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["oracle", "pallas"])
 def test_gsp_render_backends(backend):
     """The Pallas kernel must run (interpret mode) inside shard_map too."""
@@ -111,6 +113,7 @@ def test_gsp_train_step_matches_replicated():
     assert np.isfinite(float(l)) and float(l) < float(l0)
 
 
+@pytest.mark.slow
 def test_gsp_full_objective_matches_single():
     """The FULL IBGS objective (image + normal-consistency + multi-view
     photometric + aggregation-net losses, AppModel exposure, densify-stat
@@ -212,6 +215,7 @@ def test_gsp_full_objective_matches_single():
                                    atol=2.1 * float(net_lr))
 
 
+@pytest.mark.slow
 def test_gsp_densify_is_shard_local():
     """gsp_densify_fn allocates clone/split slots within each shard's own
     pool; after gsp_interleave spreads alive rows and free slots evenly,
@@ -246,6 +250,7 @@ def test_gsp_densify_is_shard_local():
     assert np.isfinite(np.asarray(img)).all()
 
 
+@pytest.mark.slow
 def test_gsp_overflow_counter():
     """A too-small exchange capacity reports dropped instances instead of
     crashing (and still renders finitely)."""

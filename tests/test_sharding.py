@@ -40,6 +40,7 @@ def test_viewport_band_matches_full():
         rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single():
     assert len(jax.devices()) >= 8
     params, cam = _params()
