@@ -38,11 +38,16 @@ class RasterConfig:
     """Static rasterizer configuration (hashable; part of the jit key).
 
     The pallas backend requires tile_h * tile_w to be a multiple of the
-    128-lane vreg width.  16x16 (the reference's BLOCK_X/BLOCK_Y) measures
-    ~40%% fewer tile instances than 8x16 at equal quality — every sort/
-    scan/pack cost downstream scales with the instance count."""
+    128-lane vreg width.  Tile shape changes NO output (same depth-order
+    blend, different partition); it trades instance count against pixels
+    per instance.  Measured on v5e (fwd+bwd, 960x544 bench scene,
+    staircase binning): 8x16 159.8 ms, 16x16 (the reference's
+    BLOCK_X/BLOCK_Y) 128.0, 16x32 119.0, 32x32 120.5 — the blend kernel
+    is issue-bound per 128-instance substep, so fewer-instances/wider-
+    tiles wins until the vector work catches up at NP=1024; 16x32 is the
+    default."""
     tile_h: int = 16
-    tile_w: int = 16
+    tile_w: int = 32
     instance_cap: int = 1 << 18
     buffer_len: int = 4
     max_src: int = 5
