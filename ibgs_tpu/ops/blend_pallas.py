@@ -51,12 +51,16 @@ from ibgs_tpu.ops.blend_common import BlendConfig, BlendOutputs, Instances
 
 NPIX = 128          # default pixels/tile; kernels use cfg.tile_h*cfg.tile_w
 #                     (must be a multiple of the 128-lane vreg width)
-KI = 128            # instances per vector step (sublane axis); at
+import os as _os
+KI = int(_os.environ.get("IBGS_KI", 128))
+#                     instances per vector step (sublane axis); at
 #                     tile 16x16 (NP=256) KI=128/CHUNK=128 measures 29/61 ms
 #                     fwd/fwd+bwd vs 51/94 for KI=32/CHUNK=256 (v5e, 1.37M
 #                     instances) — wider vregs amortize op overhead and the
 #                     finer chunk granularity halves range-rounding waste
-CHUNK = 128         # instances DMA'd from HBM per step
+CHUNK = int(_os.environ.get("IBGS_CHUNK", 128))
+#                     instances DMA'd from HBM per step (env overrides are
+#                     for kernel-tuning experiments; both must divide caps)
 CF = 16             # packed feature channels
 
 # feature channel layout

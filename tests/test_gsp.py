@@ -254,9 +254,13 @@ def test_gsp_densify_is_shard_local():
 def test_gsp_overflow_counter():
     """A too-small exchange capacity reports dropped instances instead of
     crashing (and still renders finitely)."""
+    import dataclasses
     model, cam = _model(seed=4, n=60, cap=64, H=128, W=32)
     mesh = make_mesh(1, 8, axis_names=("dp", "gs"))
-    img, ovf = gsp_render(model, cam, CFG, mesh, cap_local=1024,
+    # pin 16x16 tiles: at the 16x32 default this 32-px-wide scene makes
+    # too few instances per (src, dst) pair to overflow exchange_cap=8
+    cfg = dataclasses.replace(CFG, tile_h=16, tile_w=16)
+    img, ovf = gsp_render(model, cam, cfg, mesh, cap_local=1024,
                           exchange_cap=8)
     assert int(ovf) > 0
     assert np.isfinite(np.asarray(img)).all()
