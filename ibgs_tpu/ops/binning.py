@@ -229,12 +229,28 @@ def _bin_splats_staircase(sp: Splats2D, tiles_x: int, tiles_y: int,
     head2 = jnp.where(w > 0, offs2, cap)
     rowrank = cummax_i32(
         jnp.zeros((cap,), jnp.int32).at[head2].max(rslot, mode="drop"))
-    itab = jnp.stack([ty * tiles_x + lo, offs2, rrank], axis=1)
-    irow = itab[rowrank]                        # (cap, 3)
+    # the (row_cap, k)-table gather is the costliest staircase op (the
+    # table is NOT cache-resident like P-sized tables — measured ~5.2
+    # ns/row at 3 cols vs ~2.6 from a 1 MB table); pack tile0 and the
+    # gaussian rank into ONE int32 when their bit widths fit (tile0 <
+    # num_tiles, rrank < P — static check), shrinking the row to 2 cols.
+    tile0 = ty * tiles_x + lo
+    p_bits = max(int(P - 1).bit_length(), 1)
+    packed_ok = (num_tiles - 1).bit_length() + p_bits <= 31
+    if packed_ok:
+        itab = jnp.stack([(tile0 << p_bits) | rrank, offs2], axis=1)
+    else:
+        itab = jnp.stack([tile0, offs2, rrank], axis=1)
+    irow = itab[rowrank]                        # (cap, 2|3)
     inst = jnp.arange(cap, dtype=jnp.int32)
     inst_valid = inst < jnp.minimum(total, cap)
-    tile = jnp.where(inst_valid, irow[:, 0] + (inst - irow[:, 1]), num_tiles)
-    rank = irow[:, 2]
+    if packed_ok:
+        tile_base = irow[:, 0] >> p_bits
+        rank = irow[:, 0] & ((1 << p_bits) - 1)
+    else:
+        tile_base = irow[:, 0]
+        rank = irow[:, 2]
+    tile = jnp.where(inst_valid, tile_base + (inst - irow[:, 1]), num_tiles)
 
     # per-gaussian slot segments for pack_rows bwd: rows of one gaussian
     # are contiguous at level 1 and slots are contiguous within each row,
