@@ -187,8 +187,10 @@ import os as _os
 # fused pass (12+ passes/view across fwd+bwd, trace-measured ~5 ms/step
 # of (BHW,) loop fusions at 960x544).  An optimization_barrier after the
 # corner mix materialises the three 4-byte channel arrays once so later
-# passes read 8.3 MB instead of 33 MB — measured A/B on v5e via
-# IBGS_WARP_BARRIER (default on if it wins; see BASELINE.md).
+# passes read 8.3 MB instead of 33 MB — measured A/B on v5e: a LOSS
+# (122.8 vs 120.0 ms/step): the extra 25 MB write+read outweighs the
+# saved re-reads, i.e. XLA's default fusion already wins.  Kept as an
+# experiment flag, default OFF.
 _WARP_BARRIER = _os.environ.get("IBGS_WARP_BARRIER", "0") == "1"
 
 
@@ -235,8 +237,18 @@ def _warp_views_impl(bd, bw, tables, r2s, pdx, pdy, intr):
         w_eff = bw * inb.astype(bw.dtype)                   # (B,H,W)
         x0 = jnp.clip(jnp.floor(pu).astype(jnp.int32), 0, Ws - 1)
         y0 = jnp.clip(jnp.floor(pv).astype(jnp.int32), 0, Hs - 1)
+        # zero-weight rows (empty buffer slots, out-of-bounds projections)
+        # gather row 0 instead: their colour is multiplied by w_eff == 0 in
+        # every output, and the one backward term that would see it (dbw of
+        # an EMPTY slot) is provably discarded by the blend kernel (empty
+        # slots have buf_contrib == 0, which never matches a contributor),
+        # so outputs and end-to-end gradients are unchanged — while the
+        # repeated index-0 rows are cache-hot instead of ~4.3 ns/row HBM
+        # touches (often 30-50%+ of B·H·W rows: the below-buffer is empty
+        # wherever T never crossed 0.5).
+        idx = jnp.where(w_eff > 0.0, y0 * Ws + x0, 0)
         rows = tables[s].reshape(Hs * Ws, 4)[
-            (y0 * Ws + x0).reshape(-1)]                     # (BHW, 4) int32
+            idx.reshape(-1)]                                # (BHW, 4) int32
         fu = (pu - jnp.floor(pu)).reshape(-1)
         fv = (pv - jnp.floor(pv)).reshape(-1)
         col = _corner_mix_rgb10(rows, fu, fv)               # 3 x (BHW,)

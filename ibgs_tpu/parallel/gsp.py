@@ -328,8 +328,6 @@ def gsp_full_train_step(opt, rcfg: RasterConfig, net, phase, mesh: Mesh,
     srcs, iteration, bg, use_app, burned_in, net_lr) →
     (new_state, aux dict incl. (dp,H,W) median depths for the cache).
     """
-    import dataclasses as _dc
-
     from ibgs_tpu.ops.epilogue import IBROutputs
     from ibgs_tpu.renderer import depth_to_normal
     from ibgs_tpu.train.trainer import (TrainState, ibgs_objective,
