@@ -21,18 +21,14 @@ kernels inside.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ibgs_tpu.core.camera import Camera
 from ibgs_tpu.models.gaussians import GaussianModel, adam_step, lr_tree, LRConfig
-from ibgs_tpu.ops.epilogue import SourceViews
 from ibgs_tpu.ops.rasterize import RasterConfig, rasterize
 from ibgs_tpu.train import losses
 

@@ -8,16 +8,15 @@ selection lives in the data layer.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ibgs_tpu.core.camera import Camera
 from ibgs_tpu.models.gaussians import GaussianModel
 from ibgs_tpu.ops.epilogue import SourceViews
-from ibgs_tpu.ops.rasterize import RasterConfig, RenderResult, rasterize
+from ibgs_tpu.ops.rasterize import RasterConfig, rasterize
 
 
 def depth_to_normal(cam: Camera, depth: jnp.ndarray) -> jnp.ndarray:

@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
-import time
 from typing import Optional
 
 import jax
@@ -29,12 +27,10 @@ from ibgs_tpu import renderer
 from ibgs_tpu.config import OptimizationParams
 from ibgs_tpu.core.camera import Camera
 from ibgs_tpu.models import aggregation
-from ibgs_tpu.models.gaussians import (DensifyConfig, GaussianModel, LRConfig,
-                                       accumulate_stats, adam_step,
-                                       decay_opacity, densify_and_prune,
-                                       grow_capacity, lr_tree, oneup_sh_degree,
-                                       reset_opacity)
-from ibgs_tpu.ops.epilogue import SourceViews
+from ibgs_tpu.models.gaussians import (DensifyConfig, GaussianModel,
+                                       LRConfig, accumulate_stats,
+                                       adam_step, densify_and_prune,
+                                       lr_tree)
 from ibgs_tpu.ops.rasterize import RasterConfig
 from ibgs_tpu.train import losses
 
