@@ -147,6 +147,66 @@ def main():
     rel = abs(v_smap - v_ref) / max(abs(v_ref), 1.0)
     emit("shard_map_smoke", value=v_smap, ref=v_ref, rel_err=rel,
          ok=bool(np.isfinite(v_smap) and rel < 1e-5))
+
+    # FULL-objective GSP training step on hardware (KP_GSP_STEP=1): the
+    # production sharded trainer — exchange all_to_all, band all_gathers,
+    # aggregation net, AppModel, Adam — on a 1x1 ("dp","gs") mesh with the
+    # REAL Pallas kernel (everything else runs it interpret-mode on CPU).
+    if os.environ.get("KP_GSP_STEP", "0") == "1":
+        from ibgs_tpu.config import OptimizationParams
+        from ibgs_tpu.models import aggregation
+        from ibgs_tpu.models.gaussians import init_from_points
+        from ibgs_tpu.ops.epilogue import SourceViews
+        from ibgs_tpu.ops.rasterize import RasterConfig
+        from ibgs_tpu.parallel.gsp import gsp_full_train_step
+        from ibgs_tpu.parallel.sharding import _cam_stack
+        from ibgs_tpu.train.trainer import (SideOptState, StepPhase,
+                                            TrainState)
+        from tests.utils import simple_camera
+
+        Wg, Hg, S = 128, 128, 2
+        rng2 = np.random.default_rng(1)
+        model = init_from_points(
+            (rng2.random((2000, 3)) * 1.2 - 0.6).astype(np.float32),
+            rng2.random((2000, 3)).astype(np.float32), max_sh_degree=1,
+            capacity=4096)
+        cam = simple_camera(Wg, Hg)
+        rcfg = RasterConfig(instance_cap=65536, backend="pallas")
+        opt = OptimizationParams(
+            use_color_aggregation=True, number_src_frames=S,
+            nb_visible_src_frames=S, single_view_weight_from_iter=0,
+            multi_view_weight_from_iter=0, start_color_aggregation_iter=0,
+            position_lr_max_steps=100)
+        phase = StepPhase(render_geo=True, use_aggregation=True)
+        net = aggregation.ColorFusionResidualNet(
+            feat_aggregate_mode=opt.feat_aggregate_mode)
+        net_params = net.init(jax.random.PRNGKey(0),
+                              jnp.zeros((Hg, Wg, S, 7)),
+                              jnp.zeros((Hg, Wg, 3)), jnp.zeros((Hg, Wg, 3)))
+        state = TrainState(
+            model=model, app_ab=jnp.zeros((1600, 2), jnp.float32),
+            app_opt=SideOptState.init(jnp.zeros((1600, 2))),
+            net_params=net_params, net_opt=SideOptState.init(net_params),
+            spatial_lr_scale=jnp.float32(1.0))
+        from jax.sharding import Mesh
+        mesh2 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                     ("dp", "gs"))
+        gstep = gsp_full_train_step(opt, rcfg, net, phase, mesh2, Wg, Hg,
+                                    cap_local=65536, exchange_cap=65536)
+        srcs = SourceViews(
+            images=jnp.asarray(rng2.random((1, S, Hg, Wg, 3)), jnp.float32),
+            depths=jnp.full((1, S, Hg, Wg), 3.0, jnp.float32),
+            ref_to_src=jnp.tile(jnp.eye(4)[None, None], (1, S, 1, 1)),
+            cam_pos=jnp.zeros((1, S, 3)), count=jnp.full((1,), S, jnp.int32))
+        gts = jnp.asarray(rng2.random((1, Hg, Wg, 3)), jnp.float32)
+        s2, aux = gstep(state, _cam_stack([cam]), jnp.zeros((1,), jnp.int32),
+                        gts, srcs, jnp.int32(5), jnp.zeros(3),
+                        jnp.bool_(True), jnp.float32(1.0), jnp.float32(1e-4))
+        loss = float(aux["loss"])
+        moved = float(jnp.abs(s2.model.params.xyz - model.params.xyz).max())
+        emit("gsp_full_step_hw", loss=loss, max_dxyz=moved,
+             n_overflow=int(aux["n_overflow"]),
+             ok=bool(np.isfinite(loss) and moved > 0.0))
     emit("done")
 
 
