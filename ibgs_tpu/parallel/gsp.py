@@ -330,8 +330,8 @@ def gsp_full_train_step(opt, rcfg: RasterConfig, net, phase, mesh: Mesh,
     """
     from ibgs_tpu.ops.epilogue import IBROutputs
     from ibgs_tpu.renderer import depth_to_normal
-    from ibgs_tpu.train.trainer import (TrainState, ibgs_objective,
-                                        make_lr_config, side_adam)
+    from ibgs_tpu.train.trainer import (ibgs_objective, make_lr_config,
+                                        side_adam)
     from ibgs_tpu.models.gaussians import accumulate_stats, adam_step
 
     lrcfg = make_lr_config(opt)
