@@ -267,10 +267,32 @@ def train(
             / max(opt.color_aggregate_burnin_steps, 1), 0.0, 1.0)
         burned_in = jnp.float32((burn + 1.0) / 2.0)
 
+        prev_state = state     # kept one step for the debug dump below
         with step_annotation("train_step", it):
             state, aux = step_fn(state, cam, jnp.int32(cam_idx), gt, src,
                                  jnp.int32(it), bg, use_app, burned_in,
                                  jnp.float32(net_lr))
+
+        # Debug mode (reference diff_plane_rasterization/__init__.py:101-114
+        # + train.py:367): the CUDA version syncs-and-checks every launch
+        # and dumps all kernel INPUTS on failure; the TPU equivalent forces
+        # a per-step D2H sync of the loss and dumps the step's pre-step
+        # input pack to <model_path>/snapshot_fw.npz on the first
+        # non-finite step so it can be replayed in isolation.
+        if pipe.debug and not np.isfinite(float(aux["image_loss"])):
+            snap = os.path.join(model_path, "snapshot_fw.npz")
+            p = prev_state.model.params
+            np.savez(snap, iter=it, cam_idx=cam_idx, src_idx=idx,
+                     xyz=np.asarray(p.xyz), log_scale=np.asarray(p.log_scale),
+                     quat=np.asarray(p.quat),
+                     opacity_logit=np.asarray(p.opacity_logit),
+                     normal=np.asarray(p.normal), offset=np.asarray(p.offset),
+                     sh_dc=np.asarray(p.sh_dc), sh_rest=np.asarray(p.sh_rest),
+                     alive=np.asarray(prev_state.model.alive),
+                     gt=np.asarray(gt), bg=np.asarray(bg))
+            raise FloatingPointError(
+                f"[it {it}] non-finite loss; inputs dumped to {snap} "
+                f"(reference debug-mode analog)")
 
         if phase.render_geo:
             stacks["depths"] = update_depth(

@@ -87,3 +87,28 @@ def test_instance_cap_overflow_grows(tmp_path, capsys):
           log_every=1, quiet=True)
     out = capsys.readouterr().out
     assert "exceed" in out and "growing cap" in out, out
+
+
+def test_debug_mode_dumps_snapshot_on_nonfinite(tmp_path):
+    """PipelineParams.debug is the reference debug-machinery analog
+    (diff_plane_rasterization/__init__.py:101-114 + train.py:367): the
+    first non-finite step dumps the input pack and raises."""
+    scene = make_synthetic_scene(n_views=4, width=32, height=32,
+                                 n_gt=200, n_seed=100)
+    # poison one gt image -> NaN loss at the first step touching it
+    scene.images[:] = np.nan
+    opt = OptimizationParams(
+        iterations=4, use_color_aggregation=False,
+        single_view_weight_from_iter=10_000,
+        multi_view_weight_from_iter=10_000,
+        number_src_frames=2, position_lr_max_steps=10)
+    pipe = PipelineParams(backend="oracle", instance_cap=1 << 14,
+                          debug=True)
+    with pytest.raises(FloatingPointError, match="snapshot_fw"):
+        train(scene, ModelParams(sh_degree=0), opt, pipe,
+              model_path=str(tmp_path), save_iterations=(),
+              test_iterations=(), log_every=1, quiet=True)
+    snap = os.path.join(str(tmp_path), "snapshot_fw.npz")
+    assert os.path.exists(snap)
+    d = np.load(snap)
+    assert d["xyz"].shape[1] == 3 and np.isfinite(d["xyz"]).all()
