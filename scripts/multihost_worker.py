@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--pid", type=int, required=True)
     ap.add_argument("--devices", type=int, default=4,
                     help="CPU devices per process")
+    ap.add_argument("--train", action="store_true",
+                    help="also run one FULL-objective GSP training step "
+                         "across the process group")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +84,57 @@ def main():
     print(f"MULTIHOST_OK pid={args.pid} procs={jax.process_count()} "
           f"devices={n_dev} bands_checked={checked} max_err={max_err:.2e}",
           flush=True)
+
+    if args.train:
+        # one FULL-objective GSP training step across the process group:
+        # every process feeds the SAME host arrays (jit replicates them to
+        # the global mesh; the shard_map in_specs reshard as needed), the
+        # gs instance all_to_all and band all_gathers cross the process
+        # boundary, and the replicated loss must be identical on both
+        # processes.
+        from ibgs_tpu.config import OptimizationParams
+        from ibgs_tpu.models import aggregation
+        from ibgs_tpu.parallel.gsp import gsp_full_train_step
+        from ibgs_tpu.parallel.sharding import _cam_stack
+        from ibgs_tpu.train.trainer import (SideOptState, StepPhase,
+                                            TrainState)
+
+        S = 2
+        opt = OptimizationParams(
+            use_color_aggregation=True, number_src_frames=S,
+            nb_visible_src_frames=S, single_view_weight_from_iter=0,
+            multi_view_weight_from_iter=0, start_color_aggregation_iter=0,
+            position_lr_max_steps=100)
+        phase = StepPhase(render_geo=True, use_aggregation=True)
+        net = aggregation.ColorFusionResidualNet(
+            feat_aggregate_mode=opt.feat_aggregate_mode)
+        net_params = net.init(jax.random.PRNGKey(0),
+                              jnp.zeros((H, W, S, 7)), jnp.zeros((H, W, 3)),
+                              jnp.zeros((H, W, 3)))
+        state = TrainState(
+            model=model, app_ab=jnp.zeros((1600, 2), jnp.float32),
+            app_opt=SideOptState.init(jnp.zeros((1600, 2))),
+            net_params=net_params, net_opt=SideOptState.init(net_params),
+            spatial_lr_scale=jnp.float32(1.0))
+        gstep = gsp_full_train_step(opt, cfg, net, phase, mesh, W, H,
+                                    cap_local=4096, exchange_cap=2048)
+        srcs_np = np.asarray(rng.random((1, S, H, W, 3)), np.float32)
+        from ibgs_tpu.ops.epilogue import SourceViews
+        srcs = SourceViews(
+            images=jnp.asarray(srcs_np),
+            depths=jnp.full((1, S, H, W), 3.0, jnp.float32),
+            ref_to_src=jnp.tile(jnp.eye(4)[None, None], (1, S, 1, 1)),
+            cam_pos=jnp.zeros((1, S, 3)), count=jnp.full((1,), S, jnp.int32))
+        gts = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+        s2, aux = gstep(state, _cam_stack([cam]),
+                        jnp.zeros((1,), jnp.int32), gts, srcs, jnp.int32(5),
+                        jnp.zeros(3), jnp.bool_(True), jnp.float32(1.0),
+                        jnp.float32(1e-4))
+        loss = float(aux["loss"])            # replicated → readable
+        assert np.isfinite(loss), loss
+        assert int(aux["n_overflow"]) == 0
+        print(f"MULTIHOST_TRAIN_OK pid={args.pid} loss={loss:.6f}",
+              flush=True)
 
 
 if __name__ == "__main__":

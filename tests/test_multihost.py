@@ -35,7 +35,7 @@ def test_two_process_gsp_render_exact():
             [sys.executable, os.path.join(ROOT, "scripts",
                                           "multihost_worker.py"),
              "--coordinator", f"localhost:{port}",
-             "--nproc", "2", "--pid", str(pid)],
+             "--nproc", "2", "--pid", str(pid), "--train"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=ROOT)
         for pid in (0, 1)
@@ -43,12 +43,20 @@ def test_two_process_gsp_render_exact():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
+    import re
+    losses = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"MULTIHOST_OK pid={pid} procs=2" in out, out
+        m = re.search(rf"MULTIHOST_TRAIN_OK pid={pid} loss=([0-9.einf+-]+)",
+                      out)
+        assert m, out
+        losses.append(float(m.group(1)))
+    # the replicated loss must be identical on both processes
+    assert losses[0] == losses[1], losses
