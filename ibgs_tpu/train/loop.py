@@ -44,7 +44,17 @@ def train(
     seed: int = 24,
     log_every: int = 200,
     viewer_port: Optional[int] = None,
+    mesh=None,
+    gsp_cap_local: Optional[int] = None,
+    gsp_exchange_cap: Optional[int] = None,
 ):
+    """With `mesh` (a ("dp", "gs") jax.sharding.Mesh, dp=1), the SAME
+    driver trains under Gaussian-sharded SPMD: the step becomes
+    parallel/gsp.gsp_full_train_step (identical objective — shared code),
+    densification runs shard-local (gsp_densify_fn) after a one-time
+    gsp_interleave balance, and capacity growth re-interleaves.  Evals,
+    checkpoints and the depth cache read gathered copies.  Overflows of
+    the per-pair exchange capacity are surfaced in the log."""
     os.makedirs(model_path, exist_ok=True)
     from ibgs_tpu.data.dataset import write_multiview_json
     try:
@@ -114,6 +124,42 @@ def train(
     bg_fixed = jnp.ones(3) if scene.white_background else jnp.zeros(3)
     geo_from = opt.single_view_weight_from_iter - 2 * n_train
     steps = {}
+    dens_fns = {}
+
+    n_gs = 0
+    if mesh is not None:
+        from ibgs_tpu.parallel.gsp import gsp_interleave
+        assert mesh.shape["dp"] == 1, \
+            "the driver feeds one camera per step (reference cadence)"
+        n_gs = mesh.shape["gs"]
+        assert H % (n_gs * rcfg.tile_h) == 0, (H, n_gs, rcfg.tile_h)
+        # spread alive rows + free slots across shards once (set semantics)
+        state = state.replace(model=gsp_interleave(state.model, n_gs))
+        if gsp_cap_local is None:
+            gsp_cap_local = max(-(-pipe.instance_cap // n_gs) * 2, 4096)
+        if gsp_exchange_cap is None:
+            gsp_exchange_cap = max(-(-gsp_cap_local // n_gs) * 2, 2048)
+
+    def _make_step(phase):
+        if mesh is None:
+            return make_train_step(opt, rcfg, net, phase)
+        from ibgs_tpu.parallel.gsp import gsp_full_train_step
+        gstep = gsp_full_train_step(opt, rcfg, net, phase, mesh, W, H,
+                                    cap_local=gsp_cap_local,
+                                    exchange_cap=gsp_exchange_cap)
+
+        def wrapped(state, cam, cam_uid, gt, src, it, bg, use_app,
+                    burned_in, net_lr):
+            from ibgs_tpu.parallel.sharding import _cam_stack
+            srcs = jax.tree.map(lambda x: x[None], src)
+            new_state, aux = gstep(
+                state, _cam_stack([cam]),
+                jnp.asarray(cam_uid, jnp.int32)[None], gt[None], srcs, it,
+                bg, use_app, burned_in, net_lr)
+            aux = dict(aux)
+            aux["median_depth"] = aux["median_depth"][0]
+            return new_state, aux
+        return wrapped
 
     def get_step(it):
         phase = StepPhase(
@@ -122,7 +168,7 @@ def train(
                                  and it > opt.start_color_aggregation_iter),
         )
         if phase not in steps:
-            steps[phase] = make_train_step(opt, rcfg, net, phase)
+            steps[phase] = _make_step(phase)
         return steps[phase], phase
 
     update_depth = jax.jit(lambda cache, i, d: cache.at[i].set(d))
@@ -141,6 +187,11 @@ def train(
         return eval_render
 
     eval_render = make_eval_render(rcfg)
+
+    def eval_model():
+        # sharded arrays → one gathered host copy for eval/snapshot paths
+        return (jax.device_get(state.model) if mesh is not None
+                else state.model)
 
     def run_eval(it):
         """Reference training_report (train.py:104-170): PSNR over the
@@ -164,7 +215,7 @@ def train(
                     stacks["images"], stacks["depths"], stacks["w2v"],
                     stacks["centers"], jnp.asarray(idx2),
                     jnp.int32(len(nb)), cam_e)
-                img, dep, nrm = eval_render(state.model, cam_e, src_e)
+                img, dep, nrm = eval_render(eval_model(), cam_e, src_e)
                 p = float(losses.psnr(jnp.clip(img, 0, 1),
                                       jnp.asarray(gts_e[k])))
                 tot += p
@@ -213,7 +264,7 @@ def train(
                 stacks["images"], stacks["depths"], stacks["w2v"],
                 stacks["centers"],
                 jnp.zeros((rcfg.max_src,), jnp.int32), jnp.int32(0), cam)
-            img, _d, _n = eval_render(state.model, cam, src)
+            img, _d, _n = eval_render(eval_model(), cam, src)
             return np.asarray(img)
 
     profile_dir = pipe.profile_dir or os.path.join(model_path, "trace")
@@ -333,16 +384,31 @@ def train(
             if it > opt.densify_from_iter and it % opt.densification_interval == 0:
                 key, sub = jax.random.split(key)
                 max_screen = 20.0 if it > opt.opacity_reset_interval else None
-                state = state.replace(model=densify_step(
-                    state.model, sub, dcfg,
-                    jnp.float32(scene.cameras_extent), max_screen=max_screen))
+                if mesh is None:
+                    state = state.replace(model=densify_step(
+                        state.model, sub, dcfg,
+                        jnp.float32(scene.cameras_extent),
+                        max_screen=max_screen))
+                else:
+                    if max_screen not in dens_fns:
+                        from ibgs_tpu.parallel.gsp import gsp_densify_fn
+                        dens_fns[max_screen] = gsp_densify_fn(
+                            mesh, dcfg, max_screen=max_screen)
+                    state = state.replace(model=dens_fns[max_screen](
+                        state.model, sub, jnp.float32(scene.cameras_extent)))
                 n_alive = int(state.model.n_alive)
                 if (n_alive > 0.9 * state.model.capacity
                         and state.model.capacity < opt.max_all_points):
                     newcap = min(state.model.capacity * 2,
                                  1 << int(np.ceil(np.log2(opt.max_all_points))))
-                    state = state.replace(
-                        model=grow_capacity(state.model, newcap))
+                    grown = grow_capacity(jax.device_get(state.model)
+                                          if mesh is not None
+                                          else state.model, newcap)
+                    if mesh is not None:
+                        # new free slots pad the END → re-deal them evenly
+                        from ibgs_tpu.parallel.gsp import gsp_interleave
+                        grown = gsp_interleave(grown, n_gs)
+                    state = state.replace(model=grown)
                     print(f"[it {it}] capacity -> {newcap}")
             if it % opt.opacity_reset_interval == 0 or (
                     scene.white_background and it == opt.densify_from_iter):
@@ -360,6 +426,11 @@ def train(
             m.update(iter=it, points=int(state.model.n_alive),
                      n_instances=int(aux["n_instances"]),
                      elapsed=time.time() - t_start)
+            if mesh is not None and int(aux.get("n_overflow", 0)) > 0:
+                m["n_overflow"] = int(aux["n_overflow"])
+                print(f"[it {it}] WARNING: GSP exchange dropped "
+                      f"{m['n_overflow']} instances (raise "
+                      f"gsp_exchange_cap)")
             metrics_log.append(m)
             if not quiet:
                 print(f"[it {it}] loss {m['image_loss']:.4f} "
@@ -381,7 +452,7 @@ def train(
             pc_dir = os.path.join(model_path, "point_cloud",
                                   f"iteration_{it}")
             os.makedirs(pc_dir, exist_ok=True)
-            ckpt.save_ply_snapshot(state.model,
+            ckpt.save_ply_snapshot(eval_model(),
                                    os.path.join(pc_dir, "point_cloud.ply"))
         if it in checkpoint_iterations:
             ckpt.save_state(state, it,

@@ -264,3 +264,43 @@ def test_gsp_overflow_counter():
                           exchange_cap=8)
     assert int(ovf) > 0
     assert np.isfinite(np.asarray(img)).all()
+
+
+@pytest.mark.slow
+def test_train_driver_on_mesh(tmp_path):
+    """The production train() driver with mesh= trains the full cadence
+    under Gaussian-sharded SPMD on the virtual CPU mesh: loss improves,
+    shard-local densification grows points, eval + PLY snapshot run on
+    gathered copies."""
+    import os
+
+    from ibgs_tpu.config import ModelParams, OptimizationParams, PipelineParams
+    from ibgs_tpu.data.synthetic import make_synthetic_scene
+    from ibgs_tpu.train.loop import train
+
+    scene = make_synthetic_scene(n_views=6, width=32, height=64,
+                                 n_gt=400, n_seed=150)
+    opt = OptimizationParams(
+        iterations=40, densify_from_iter=10, densification_interval=15,
+        densify_until_iter=38, opacity_reset_interval=10_000,
+        single_view_weight_from_iter=20, multi_view_weight_from_iter=20,
+        use_color_aggregation=True, start_color_aggregation_iter=28,
+        color_aggregate_burnin_steps=8, number_src_frames=2,
+        nb_visible_src_frames=2, position_lr_max_steps=40)
+    pipe = PipelineParams(backend="oracle", instance_cap=1 << 14)
+    mesh = make_mesh(1, 4, axis_names=("dp", "gs"))
+    state, stacks = train(
+        scene, ModelParams(sh_degree=1), opt, pipe,
+        model_path=str(tmp_path), save_iterations=(40,),
+        test_iterations=(40,), log_every=10, quiet=True, mesh=mesh)
+    import json
+    log = [json.loads(l) for l in
+           open(os.path.join(str(tmp_path), "train_log.jsonl"))]
+    assert np.isfinite(log[-1]["image_loss"])
+    assert log[-1]["psnr"] > log[0]["psnr"] + 1.0, (log[0], log[-1])
+    assert "n_overflow" not in log[-1], log[-1]
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "point_cloud", "iteration_40", "point_cloud.ply"))
+    # per-shard balance held through densification
+    alive = np.asarray(state.model.alive).reshape(4, -1).sum(1)
+    assert (alive > 0).all(), alive
