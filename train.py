@@ -31,6 +31,11 @@ def main(argv=None):
                         default=[12, 64, 64, 1200, 400],
                         metavar=("VIEWS", "W", "H", "N_GT", "N_SEED"),
                         help="synthetic scene shape (with --synthetic)")
+    parser.add_argument("--gsp_shards", type=int, default=0,
+                        help="train under Gaussian-sharded SPMD on a "
+                             "(1, N)-device ('dp','gs') mesh; joins the "
+                             "multi-host group first if COORDINATOR_ADDRESS "
+                             "etc. are set (parallel/distributed.py)")
     args = parser.parse_args(argv)
 
     mp = C.extract(args, C.ModelParams)
@@ -68,12 +73,20 @@ def main(argv=None):
     from ibgs_tpu.train.loop import train
     if opt.iterations not in args.save_iterations:
         args.save_iterations.append(opt.iterations)
+    mesh = None
+    if args.gsp_shards:
+        from ibgs_tpu.parallel import distributed
+        distributed.initialize()       # single-process fallback is a no-op
+        mesh = distributed.global_mesh(1, args.gsp_shards,
+                                       axis_names=("dp", "gs"))
+        print(f"GSP mesh: 1 x {args.gsp_shards} devices "
+              f"across {__import__('jax').process_count()} process(es)")
     train(scene, mp, opt, pipe, mp.model_path,
           save_iterations=tuple(args.save_iterations),
           test_iterations=tuple(args.test_iterations),
           checkpoint_iterations=tuple(args.checkpoint_iterations),
           start_checkpoint=args.start_checkpoint, quiet=args.quiet,
-          viewer_port=args.port)
+          viewer_port=args.port, mesh=mesh)
     print("\nTraining complete.")
 
 
