@@ -44,10 +44,20 @@ def initialize(coordinator_address: Optional[str] = None,
     auto_env = any(v in os.environ for v in
                    ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
     if explicit or auto_env:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id)
+        except RuntimeError as e:
+            # "must be called before any JAX calls" — the backend is already
+            # up (e.g. a plugin env var triggered the auto path after data
+            # loading touched JAX).  An explicit multi-host request must
+            # fail loudly; the env-sniffed path degrades to single-process.
+            if explicit:
+                raise
+            print(f"[distributed] auto-init skipped ({e}); continuing "
+                  f"single-process")
     _initialized = True
     return jax.process_count() > 1
 

@@ -49,6 +49,18 @@ def main(argv=None):
 
     np.random.seed(24)
 
+    mesh = None
+    if args.gsp_shards:
+        # must run before ANY JAX call initialises the backend (scene
+        # loading below touches JAX)
+        from ibgs_tpu.parallel import distributed
+        distributed.initialize()       # single-process fallback is a no-op
+        mesh = distributed.global_mesh(1, args.gsp_shards,
+                                       axis_names=("dp", "gs"))
+        import jax as _jax
+        print(f"GSP mesh: 1 x {args.gsp_shards} devices "
+              f"across {_jax.process_count()} process(es)")
+
     if args.synthetic:
         from ibgs_tpu.data.synthetic import make_synthetic_scene
         v, w, h, ngt, nseed = args.synthetic_spec
@@ -73,14 +85,6 @@ def main(argv=None):
     from ibgs_tpu.train.loop import train
     if opt.iterations not in args.save_iterations:
         args.save_iterations.append(opt.iterations)
-    mesh = None
-    if args.gsp_shards:
-        from ibgs_tpu.parallel import distributed
-        distributed.initialize()       # single-process fallback is a no-op
-        mesh = distributed.global_mesh(1, args.gsp_shards,
-                                       axis_names=("dp", "gs"))
-        print(f"GSP mesh: 1 x {args.gsp_shards} devices "
-              f"across {__import__('jax').process_count()} process(es)")
     train(scene, mp, opt, pipe, mp.model_path,
           save_iterations=tuple(args.save_iterations),
           test_iterations=tuple(args.test_iterations),
