@@ -49,11 +49,14 @@ def initialize(coordinator_address: Optional[str] = None,
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,
                 process_id=process_id)
-        except RuntimeError as e:
-            # "must be called before any JAX calls" — the backend is already
-            # up (e.g. a plugin env var triggered the auto path after data
-            # loading touched JAX).  An explicit multi-host request must
-            # fail loudly; the env-sniffed path degrades to single-process.
+        except (RuntimeError, ValueError) as e:
+            # RuntimeError: "must be called before any JAX calls" — the
+            # backend is already up.  ValueError: "coordinator_address
+            # should be defined" — an env var sniffed as a pod marker
+            # (e.g. the remote-TPU relay plugin sets TPU_WORKER_HOSTNAMES)
+            # without enough context for JAX to infer the group.  An
+            # explicit multi-host request must fail loudly; the
+            # env-sniffed path degrades to single-process.
             if explicit:
                 raise
             print(f"[distributed] auto-init skipped ({e}); continuing "
