@@ -51,11 +51,17 @@ def test_viewer_roundtrip():
             img[..., 0] = 0.5
             return img
 
-        # poll until the message arrives and is served
-        for _ in range(200):
+        # poll until the message arrives and is served.  serve_once is
+        # non-blocking, so back off between polls: under heavy machine
+        # load the client thread may not be scheduled for seconds, and
+        # 200 immediate polls would finish before it even connects
+        # (observed as a flake during parallel suite + TPU runs).
+        import time
+        for _ in range(500):
             viewer.serve_once(render_fn, verify="ok")
             if "cam" in got:
                 break
+            time.sleep(0.02)
         t.join(timeout=10)
         assert not t.is_alive()
         assert out["verify"] == "ok"
