@@ -113,6 +113,7 @@ def read_images_txt(path: str) -> dict:
 
 
 def read_points3d_bin(path: str):
+    """→ (xyz f64 (N,3), rgb u8 (N,3), err f64 (N,), track_len i64 (N,))."""
     # fast path: native C parser (variable-length records are slow in python)
     try:
         from ibgs_tpu.utils.native import parse_colmap_points3d
@@ -125,18 +126,23 @@ def read_points3d_bin(path: str):
         (n,) = _read(f, "<Q")
         xyz = np.empty((n, 3), np.float64)
         rgb = np.empty((n, 3), np.uint8)
+        err = np.empty((n,), np.float64)
+        tl = np.empty((n,), np.int64)
         for i in range(n):
             _pid = _read(f, "<Q")
             xyz[i] = _read(f, "<3d")
             rgb[i] = _read(f, "<3B")
-            _err = _read(f, "<d")
+            (err[i],) = _read(f, "<d")
             (tlen,) = _read(f, "<Q")
+            tl[i] = tlen
             f.seek(8 * tlen, os.SEEK_CUR)
-    return xyz, rgb
+    return xyz, rgb, err, tl
 
 
 def read_points3d_txt(path: str):
-    xyz, rgb = [], []
+    """→ (xyz, rgb, err, track_len); text rows are
+    POINT3D_ID X Y Z R G B ERROR (IMAGE_ID POINT2D_IDX)*."""
+    xyz, rgb, err, tl = [], [], [], []
     for line in open(path):
         line = line.strip()
         if not line or line.startswith("#"):
@@ -144,11 +150,26 @@ def read_points3d_txt(path: str):
         el = line.split()
         xyz.append([float(x) for x in el[1:4]])
         rgb.append([int(x) for x in el[4:7]])
-    return np.array(xyz, np.float64), np.array(rgb, np.uint8)
+        err.append(float(el[7]))
+        tl.append((len(el) - 8) // 2)
+    return (np.array(xyz, np.float64), np.array(rgb, np.uint8),
+            np.array(err, np.float64), np.array(tl, np.int64))
 
 
-def load_sparse(sparse_dir: str):
-    """Read cameras/images/points from a COLMAP sparse dir (bin or txt)."""
+# The reference drops low-quality seed points at parse time
+# (scene/colmap_loader.py:144-157): reprojection error > 2.0 px or
+# track length < 3 observations.
+MAX_POINT_ERROR = 2.0
+MIN_TRACK_LEN = 3
+
+
+def load_sparse(sparse_dir: str, filter_points: bool = True):
+    """Read cameras/images/points from a COLMAP sparse dir (bin or txt).
+
+    filter_points applies the reference's seed-quality filter (drop
+    error > 2.0 or track < 3); when every point would be dropped (tracks
+    absent from a synthetic export) the unfiltered cloud is kept.
+    """
     def pick(stem):
         b = os.path.join(sparse_dir, stem + ".bin")
         t = os.path.join(sparse_dir, stem + ".txt")
@@ -159,6 +180,10 @@ def load_sparse(sparse_dir: str):
     ppath, pfmt = pick("points3D")
     cams = read_cameras_bin(cpath) if cfmt == "bin" else read_cameras_txt(cpath)
     imgs = read_images_bin(ipath) if ifmt == "bin" else read_images_txt(ipath)
-    pts, rgb = (read_points3d_bin(ppath) if pfmt == "bin"
-                else read_points3d_txt(ppath))
+    pts, rgb, err, tl = (read_points3d_bin(ppath) if pfmt == "bin"
+                         else read_points3d_txt(ppath))
+    if filter_points and len(pts):
+        keep = (err <= MAX_POINT_ERROR) & (tl >= MIN_TRACK_LEN)
+        if keep.any():
+            pts, rgb = pts[keep], rgb[keep]
     return cams, imgs, pts, rgb

@@ -120,8 +120,20 @@ def _read_colmap_infos(source: str, images_dir: str, eval_split: bool):
         R = colmap.qvec_to_rotmat(im.qvec).T     # cam→world
         if cam.model == "PINHOLE":
             fx, fy = cam.params[0], cam.params[1]
-        else:   # SIMPLE_PINHOLE / SIMPLE_RADIAL: single focal
+        elif cam.model == "SIMPLE_PINHOLE":
             fx = fy = cam.params[0]
+        elif cam.model == "SIMPLE_RADIAL" and abs(cam.params[3]) < 1e-8:
+            # zero radial distortion IS a pinhole camera (params f,cx,cy,k)
+            fx = fy = cam.params[0]
+        else:
+            # reference refuses distorted models outright
+            # (scene/dataset_readers.py:112); silently ignoring distortion
+            # warps geometry, so fail loudly and point at the fix.
+            raise ValueError(
+                f"COLMAP camera model {cam.model!r} (camera {cam.cam_id}) is "
+                "not supported: only undistorted datasets (PINHOLE / "
+                "SIMPLE_PINHOLE) are. Run `colmap image_undistorter` (or "
+                "scripts/preprocess_colmap.py) first.")
         infos.append(CameraInfo(
             uid=len(infos), R=R, T=im.tvec,
             fovx=tf.focal_to_fov(fx, cam.width),

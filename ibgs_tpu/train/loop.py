@@ -127,10 +127,12 @@ def train(
     dens_fns = {}
 
     n_gs = 0
+    n_dp = 1
     if mesh is not None:
         from ibgs_tpu.parallel.gsp import gsp_interleave
-        assert mesh.shape["dp"] == 1, \
-            "the driver feeds one camera per step (reference cadence)"
+        # dp > 1 batches dp cameras per step (one per dp row — the cheap
+        # second scaling axis on a pod); the reference cadence is dp=1
+        n_dp = mesh.shape["dp"]
         n_gs = mesh.shape["gs"]
         assert H % (n_gs * rcfg.tile_h) == 0, (H, n_gs, rcfg.tile_h)
         # spread alive rows + free slots across shards once (set semantics)
@@ -148,17 +150,17 @@ def train(
                                     cap_local=gsp_cap_local,
                                     exchange_cap=gsp_exchange_cap)
 
-        def wrapped(state, cam, cam_uid, gt, src, it, bg, use_app,
+        def wrapped(state, cams, cam_uids, gts, srcs, it, bg, use_app,
                     burned_in, net_lr):
+            # cams: list of n_dp cameras; gts (dp,H,W,3); srcs stacked
+            # SourceViews with leading dp axis; aux["median_depth"] stays
+            # (dp,H,W) — the caller updates the cache row per dp camera
             from ibgs_tpu.parallel.sharding import _cam_stack
-            srcs = jax.tree.map(lambda x: x[None], src)
             new_state, aux = gstep(
-                state, _cam_stack([cam]),
-                jnp.asarray(cam_uid, jnp.int32)[None], gt[None], srcs, it,
+                state, _cam_stack(cams),
+                jnp.asarray(cam_uids, jnp.int32), gts, srcs, it,
                 bg, use_app, burned_in, net_lr)
-            aux = dict(aux)
-            aux["median_depth"] = aux["median_depth"][0]
-            return new_state, aux
+            return new_state, dict(aux)
         return wrapped
 
     def get_step(it):
@@ -247,10 +249,47 @@ def train(
                 stacks["depths"], ci, depth_fn(state.model, cam_i))
         print(f"[resume] depth cache rebuilt for {n_train} views")
 
+    def check_caps(n_inst, n_rows, it):
+        """Grow the static instance/row caps (+ recompile) when a step
+        reports counts past them — binning truncates the deepest splats
+        past the cap, so a late reaction silently degrades training."""
+        nonlocal rcfg, eval_render
+        import dataclasses as _dc
+        grew = False
+        if n_inst > rcfg.instance_cap:
+            newcap = 1 << int(np.ceil(np.log2(n_inst * 1.25)))
+            print(f"[it {it}] WARNING: tile instances {n_inst} exceed "
+                  f"instance_cap {rcfg.instance_cap} (deepest splats "
+                  f"dropped); growing cap -> {newcap} and recompiling")
+            rcfg = _dc.replace(rcfg, instance_cap=newcap)
+            grew = True
+        if rcfg.staircase_cull:
+            # staircase tile-ROW capacity: same prefix-truncation
+            # semantics, same growth policy
+            row_eff = rcfg.row_cap or rcfg.instance_cap // 2
+            if n_rows > row_eff:
+                newrows = 1 << int(np.ceil(np.log2(n_rows * 1.25)))
+                print(f"[it {it}] WARNING: staircase rows {n_rows} "
+                      f"exceed row_cap {row_eff}; growing -> {newrows} "
+                      f"and recompiling")
+                rcfg = _dc.replace(rcfg, row_cap=newrows)
+                grew = True
+        if grew:
+            steps.clear()
+            eval_render = make_eval_render(rcfg)
+
     stack_order = []
     net_lr = 1e-3
     metrics_log = []
     t_start = time.time()
+    # overflow-reaction state: caps are checked EVERY step.  Normally the
+    # PREVIOUS step's counters are read (that step has already finished, so
+    # the fetch cannot stall the async dispatch pipeline) → growth lands
+    # within one step of an overflow.  On the step right after a densify —
+    # the moment counts can spike — the CURRENT step is checked
+    # synchronously.
+    prev_caps = None
+    check_caps_now = True     # first step: sync check
 
     # live SIBR viewer hook (reference network_gui, here actually wired)
     if viewer_port is not None:
@@ -290,25 +329,35 @@ def train(
             net_lr *= 0.5
         if it % 1000 == 0:
             state = state.replace(model=oneup_sh_degree(state.model))
-        if not stack_order:
-            stack_order = list(range(n_train))
-        cam_idx = stack_order.pop(rng.integers(len(stack_order)))
+        cam_idxs = []
+        for _ in range(n_dp):
+            if not stack_order:
+                stack_order = list(range(n_train))
+            cam_idxs.append(int(stack_order.pop(
+                rng.integers(len(stack_order)))))
+        cam_idx = cam_idxs[0]
 
         cam = scene.train_cameras[cam_idx]
         gt = stacks["images"][cam_idx]
         step_fn, phase = get_step(it)
 
-        pool = scene.nearest_ids[cam_idx]
-        if opt.shuffle_source_frame and len(pool) > opt.number_src_frames:
-            nbrs = list(rng.choice(pool, size=opt.number_src_frames,
-                                   replace=False))
-        else:
-            nbrs = pool[: opt.number_src_frames]
-        idx = np.zeros((rcfg.max_src,), np.int32)
-        idx[: len(nbrs)] = nbrs
-        src = _gather_src_jit(
-            stacks["images"], stacks["depths"], stacks["w2v"],
-            stacks["centers"], jnp.asarray(idx), jnp.int32(len(nbrs)), cam)
+        def build_src(ci):
+            pool = scene.nearest_ids[ci]
+            if (opt.shuffle_source_frame
+                    and len(pool) > opt.number_src_frames):
+                nbrs = list(rng.choice(pool, size=opt.number_src_frames,
+                                       replace=False))
+            else:
+                nbrs = pool[: opt.number_src_frames]
+            sidx = np.zeros((rcfg.max_src,), np.int32)
+            sidx[: len(nbrs)] = nbrs
+            return sidx, _gather_src_jit(
+                stacks["images"], stacks["depths"], stacks["w2v"],
+                stacks["centers"], jnp.asarray(sidx), jnp.int32(len(nbrs)),
+                scene.train_cameras[ci])
+
+        src_packs = [build_src(ci) for ci in cam_idxs]
+        idx, src = src_packs[0]
 
         bg = (jnp.asarray(rng.random(3), jnp.float32)
               if opt.random_background else bg_fixed)
@@ -320,9 +369,18 @@ def train(
 
         prev_state = state     # kept one step for the debug dump below
         with step_annotation("train_step", it):
-            state, aux = step_fn(state, cam, jnp.int32(cam_idx), gt, src,
-                                 jnp.int32(it), bg, use_app, burned_in,
-                                 jnp.float32(net_lr))
+            if mesh is None:
+                state, aux = step_fn(state, cam, jnp.int32(cam_idx), gt,
+                                     src, jnp.int32(it), bg, use_app,
+                                     burned_in, jnp.float32(net_lr))
+            else:
+                cams_dp = [scene.train_cameras[ci] for ci in cam_idxs]
+                gts = stacks["images"][np.asarray(cam_idxs)]
+                srcs = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *[s for _, s in src_packs])
+                state, aux = step_fn(state, cams_dp, cam_idxs, gts, srcs,
+                                     jnp.int32(it), bg, use_app, burned_in,
+                                     jnp.float32(net_lr))
 
         # Debug mode (reference diff_plane_rasterization/__init__.py:101-114
         # + train.py:367): the CUDA version syncs-and-checks every launch
@@ -346,38 +404,29 @@ def train(
                 f"(reference debug-mode analog)")
 
         if phase.render_geo:
-            stacks["depths"] = update_depth(
-                stacks["depths"], cam_idx, aux["median_depth"])
+            if mesh is None:
+                stacks["depths"] = update_depth(
+                    stacks["depths"], cam_idx, aux["median_depth"])
+            else:
+                for j, ci in enumerate(cam_idxs):
+                    stacks["depths"] = update_depth(
+                        stacks["depths"], ci, aux["median_depth"][j])
 
         # ---- instance-cap overflow: grow + recompile instead of silently
         # truncating the deepest Gaussians (binning.py caps at instance_cap;
-        # mirrors the P-capacity growth below) ----
-        if it % 100 == 0 or it == first_iter:
-            import dataclasses as _dc
-            grew = False
-            n_inst = int(aux["n_instances"])
-            if n_inst > rcfg.instance_cap:
-                newcap = 1 << int(np.ceil(np.log2(n_inst * 1.25)))
-                print(f"[it {it}] WARNING: tile instances {n_inst} exceed "
-                      f"instance_cap {rcfg.instance_cap} (deepest splats "
-                      f"dropped); growing cap -> {newcap} and recompiling")
-                rcfg = _dc.replace(rcfg, instance_cap=newcap)
-                grew = True
-            if rcfg.staircase_cull:
-                # staircase tile-ROW capacity: same prefix-truncation
-                # semantics, same growth policy
-                n_rows = int(aux.get("n_rows", 0))
-                row_eff = rcfg.row_cap or rcfg.instance_cap // 2
-                if n_rows > row_eff:
-                    newrows = 1 << int(np.ceil(np.log2(n_rows * 1.25)))
-                    print(f"[it {it}] WARNING: staircase rows {n_rows} "
-                          f"exceed row_cap {row_eff}; growing -> {newrows} "
-                          f"and recompiling")
-                    rcfg = _dc.replace(rcfg, row_cap=newrows)
-                    grew = True
-            if grew:
-                steps.clear()
-                eval_render = make_eval_render(rcfg)
+        # mirrors the P-capacity growth below).  Checked EVERY step: the
+        # previous step's (already-materialised) counters normally, the
+        # current step synchronously right after a densify. ----
+        cur_caps = (aux["n_instances"], aux.get("n_rows"))
+        if check_caps_now:
+            check_caps(int(cur_caps[0]),
+                       int(cur_caps[1]) if cur_caps[1] is not None else 0, it)
+            check_caps_now = False
+        elif prev_caps is not None:
+            check_caps(int(prev_caps[0]),
+                       int(prev_caps[1]) if prev_caps[1] is not None else 0,
+                       it)
+        prev_caps = cur_caps
 
         # ---- maintenance cadence (train.py:399-430) ----
         if it < opt.densify_until_iter:
@@ -396,6 +445,9 @@ def train(
                             mesh, dcfg, max_screen=max_screen)
                     state = state.replace(model=dens_fns[max_screen](
                         state.model, sub, jnp.float32(scene.cameras_extent)))
+                # a split/clone can spike the instance count — check the
+                # very next step's counters synchronously
+                check_caps_now = True
                 n_alive = int(state.model.n_alive)
                 if (n_alive > 0.9 * state.model.capacity
                         and state.model.capacity < opt.max_all_points):

@@ -150,10 +150,18 @@ void knn_mean_sq_dist_3(const float* points, int64_t n, float* out) {
   });
 }
 
-// blob: raw bytes of points3D.bin; first pass n_out=NULL → returns count;
-// second pass fills xyz (n,3) f64 and rgb (n,3) u8. Returns count or -1.
+// ABI version for the ctypes loader: bumped when an exported signature
+// changes so a stale libibgs_native.so is never called with the new layout.
+int64_t ibgs_native_abi(void) { return 2; }
+
+// blob: raw bytes of points3D.bin; fills xyz (n,3) f64, rgb (n,3) u8, and
+// (optionally) reprojection error err (n,) f64 + track length tlen (n,) i64
+// so callers can apply the reference's quality filter
+// (scene/colmap_loader.py:144-157: drop error > 2.0 or track < 3).
+// Returns count or -1 on truncated/corrupt input.
 int64_t parse_colmap_points3d(const uint8_t* blob, int64_t nbytes,
-                              double* xyz, uint8_t* rgb) {
+                              double* xyz, uint8_t* rgb, double* err,
+                              int64_t* tlen_out) {
   if (nbytes < 8) return -1;
   uint64_t count;
   std::memcpy(&count, blob, 8);
@@ -165,9 +173,11 @@ int64_t parse_colmap_points3d(const uint8_t* blob, int64_t nbytes,
     off += 24;
     if (rgb) std::memcpy(rgb + 3 * i, blob + off, 3);
     off += 3;
+    if (err) std::memcpy(err + i, blob + off, 8);
     off += 8;  // error
     uint64_t tlen;
     std::memcpy(&tlen, blob + off, 8);
+    if (tlen_out) tlen_out[i] = (int64_t)tlen;
     off += 8;
     off += (int64_t)tlen * 8;
     if (off > nbytes) return -1;

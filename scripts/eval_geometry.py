@@ -155,8 +155,12 @@ def chamfer(args):
         gt_h = np.concatenate([gt, np.ones_like(gt[:, :1])], -1)
         gt = gt[(plane.reshape(1, 4) * gt_h).sum(-1) > 0]
 
-    d2g = cKDTree(gt).query(data, k=1)[0]
-    g2d = cKDTree(data_in).query(gt, k=1)[0]
+    # upper-bounded parallel NN queries: distances past max_dist are culled
+    # anyway, and the bound keeps far-outlier queries from degenerating
+    d2g = cKDTree(gt).query(data, k=1, workers=-1,
+                            distance_upper_bound=args.max_dist)[0]
+    g2d = cKDTree(data_in).query(gt, k=1, workers=-1,
+                                 distance_upper_bound=args.max_dist)[0]
     d2g = d2g[d2g < args.max_dist]
     g2d = g2d[g2d < args.max_dist]
     acc = float(d2g.mean())
@@ -167,15 +171,147 @@ def chamfer(args):
     return out
 
 
+def _umeyama(src, dst, with_scale=True):
+    """Closed-form similarity transform T (4,4) minimising
+    ||dst − (s·R·src + t)||² — the TransformationEstimationPointToPoint
+    (with_scaling=True) step of the reference toolbox."""
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    sc, dc = src - mu_s, dst - mu_d
+    cov = dc.T @ sc / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var_s = (sc ** 2).sum() / len(src)
+    s = float((D * np.diag(S)).sum() / max(var_s, 1e-12)) if with_scale \
+        else 1.0
+    T = np.eye(4)
+    T[:3, :3] = s * R
+    T[:3, 3] = mu_d - s * R @ mu_s
+    return T
+
+
+def icp_align(src, dst, threshold, max_iter=50, with_scale=True, init=None):
+    """Point-to-point ICP with scale (reference registration_vol_ds /
+    registration_unif: o3d registration_icp with
+    TransformationEstimationPointToPoint(True), ICPConvergenceCriteria
+    1e-6).  Correspondences beyond `threshold` are rejected each sweep."""
+    T = np.eye(4) if init is None else init.copy()
+    tree = cKDTree(dst)
+    prev = np.inf
+    for _ in range(max_iter):
+        cur = src @ T[:3, :3].T + T[:3, 3]
+        d, idx = tree.query(cur, k=1, workers=-1,
+                            distance_upper_bound=threshold)
+        m = np.isfinite(d)
+        if m.sum() < 10:
+            break
+        T = _umeyama(cur[m], dst[idx[m]], with_scale) @ T
+        rmse = float(np.sqrt((d[m] ** 2).mean()))
+        if abs(prev - rmse) <= 1e-6 * max(rmse, 1e-12):
+            break
+        prev = rmse
+    return T
+
+
+def _pca_inits(src, dst):
+    """Coarse global inits when no trajectory is available: centroid +
+    RMS-radius scale + principal-axes rotation, over the 4 proper-rotation
+    axis-sign combinations (PCA axes have sign ambiguity)."""
+    def frame(p):
+        c = p.mean(0)
+        q = p - c
+        _, _, Vt = np.linalg.svd(q[np.random.default_rng(0).choice(
+            len(q), size=min(len(q), 20000), replace=False)], full_matrices=False)
+        scale = np.sqrt((q ** 2).sum(-1).mean())
+        return c, Vt, scale
+    cs, Vs, ss = frame(src)
+    cd, Vd, sd = frame(dst)
+    inits = []
+    for sx in (1, -1):
+        for sy in (1, -1):
+            sg = np.diag([sx, sy, sx * sy])  # det=+1 sign flips
+            R = Vd.T @ sg @ Vs
+            if np.linalg.det(R) < 0:
+                R = Vd.T @ (sg * -1) @ Vs
+            s = sd / max(ss, 1e-12)
+            T = np.eye(4)
+            T[:3, :3] = s * R
+            T[:3, 3] = cd - s * R @ cs
+            inits.append(T)
+    return inits
+
+
+def align_points(data, gt, threshold, traj=None, gt_traj=None):
+    """Reference tnt_eval/run.py:100-107 pipeline: trajectory-based init
+    (correspondence Umeyama instead of RANSAC — the correspondences are
+    index-matched), then staged ICP at decreasing thresholds
+    (dTau → dTau/2 → 2·dTau uniform in the reference; here 4τ → 2τ → τ)."""
+    rng = np.random.default_rng(0)
+    sub = data[rng.choice(len(data), size=min(len(data), 30_000),
+                          replace=False)]
+    # alignment only needs a representative target: voxel-downsample GT so
+    # the per-sweep KD queries stay cheap
+    gt = voxel_downsample(gt, threshold / 2)
+    if traj is not None and gt_traj is not None:
+        n = min(len(traj), len(gt_traj))
+        init = _umeyama(traj[:n], gt_traj[:n], with_scale=True)
+        cands = [init]
+    else:
+        cands = _pca_inits(sub, gt)
+    tree = cKDTree(gt)
+
+    def score(T):
+        cur = sub @ T[:3, :3].T + T[:3, 3]
+        d, _ = tree.query(cur, k=1, workers=-1)
+        return float(np.median(d))
+
+    best = min(cands, key=score)
+    T = best
+    for th in (4 * threshold, 2 * threshold, threshold):
+        T = icp_align(sub, gt, th, init=T)
+    return T
+
+
+def _load_traj(path):
+    """Camera centres: .npy (N,3), .txt whitespace (N,3), or a TnT .log
+    trajectory (5-line blocks: meta + 4x4 pose, centre = pose[:3,3])."""
+    if path.endswith(".npy"):
+        return np.load(path).reshape(-1, 3)
+    if path.endswith(".log"):
+        rows = [l.split() for l in open(path) if l.strip()]
+        mats = []
+        i = 0
+        while i < len(rows):
+            block = rows[i + 1:i + 5]
+            mats.append(np.array(block, np.float64))
+            i += 5
+        return np.stack(mats)[:, :3, 3]
+    return np.loadtxt(path).reshape(-1, 3)
+
+
 def fscore(args):
     """TnT-style precision/recall/F at threshold τ
-    (reference scripts/tnt_eval/evaluation.py)."""
+    (reference scripts/tnt_eval/evaluation.py).  --align first registers
+    the reconstruction to GT with scale-aware ICP (reference
+    registration.py), optionally seeded by --traj/--gt_traj camera
+    trajectories."""
     data = load_points(args.mesh)
     gt = load_points(args.gt)
+    if args.align:
+        traj = _load_traj(args.traj) if args.traj else None
+        gt_traj = _load_traj(args.gt_traj) if args.gt_traj else None
+        T = align_points(data, gt, args.threshold, traj, gt_traj)
+        data = data @ T[:3, :3].T + T[:3, 3]
     data = voxel_downsample(data, args.threshold / 2)
     gt = voxel_downsample(gt, args.threshold / 2)
-    d2g = cKDTree(gt).query(data, k=1)[0]
-    g2d = cKDTree(data).query(gt, k=1)[0]
+    # only the (d < τ) booleans matter — bounding the query at τ keeps
+    # badly misregistered inputs from degenerating the KD search
+    d2g = cKDTree(gt).query(data, k=1, workers=-1,
+                            distance_upper_bound=args.threshold)[0]
+    g2d = cKDTree(data).query(gt, k=1, workers=-1,
+                              distance_upper_bound=args.threshold)[0]
     precision = float((d2g < args.threshold).mean())
     recall = float((g2d < args.threshold).mean())
     f = 2 * precision * recall / max(precision + recall, 1e-12)
@@ -208,6 +344,13 @@ def main(argv=None):
     f.add_argument("--mesh", required=True)
     f.add_argument("--gt", required=True)
     f.add_argument("--threshold", type=float, default=0.05)
+    f.add_argument("--align", action="store_true",
+                   help="register the mesh to GT first (scale-aware ICP, "
+                        "reference tnt_eval/registration.py)")
+    f.add_argument("--traj", type=str, default=None,
+                   help="reconstruction camera centres (.npy/.txt/.log) "
+                        "for correspondence-seeded alignment")
+    f.add_argument("--gt_traj", type=str, default=None)
     args = p.parse_args(argv)
     if args.cmd == "chamfer":
         return chamfer(args)

@@ -20,6 +20,8 @@ ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 W, H = 64, 48
 FX = FY = 60.0
 N_PTS = 300
+N_BAD_ERR = 4      # reprojection error 5.0 → filtered out by the loader
+N_BAD_TRACK = 4    # track length 1 → filtered out by the loader
 N_CAMS = 4
 
 
@@ -108,17 +110,29 @@ def main():
             Image.fromarray((img * 255).astype(np.uint8)).save(
                 os.path.join(ROOT, "images", name))
 
-    # points3D.bin with variable-length tracks
+    # points3D.bin with variable-length tracks.  The first N_PTS points are
+    # good (error 0.5, track>=3); appended after them are N_BAD_ERR points
+    # with reprojection error 5.0 and N_BAD_TRACK with track length 1, which
+    # the loader must drop per the reference's quality filter
+    # (scene/colmap_loader.py:144-157).
     with open(os.path.join(ROOT, "sparse/0/points3D.bin"), "wb") as f:
-        f.write(struct.pack("<Q", N_PTS))
-        for i in range(N_PTS):
-            f.write(struct.pack("<Q", i + 1))
-            f.write(struct.pack("<3d", *xyz[i]))
-            f.write(struct.pack("<3B", *(rgb[i] * 255).astype(np.uint8)))
-            f.write(struct.pack("<d", 0.5))
-            tlen = int(rng.integers(0, 4))
+        f.write(struct.pack("<Q", N_PTS + N_BAD_ERR + N_BAD_TRACK))
+
+        def write_point(pid, p, c, error, tlen):
+            f.write(struct.pack("<Q", pid))
+            f.write(struct.pack("<3d", *p))
+            f.write(struct.pack("<3B", *(c * 255).astype(np.uint8)))
+            f.write(struct.pack("<d", error))
             f.write(struct.pack("<Q", tlen))
             f.write(b"\x00" * (8 * tlen))
+
+        for i in range(N_PTS):
+            write_point(i + 1, xyz[i], rgb[i], 0.5, int(rng.integers(3, 7)))
+        far = np.array([50.0, 50.0, 50.0])
+        for k in range(N_BAD_ERR):
+            write_point(N_PTS + 1 + k, far + k, rgb[k], 5.0, 4)
+        for k in range(N_BAD_TRACK):
+            write_point(N_PTS + N_BAD_ERR + 1 + k, far - k, rgb[k], 0.5, 1)
     print("fixture written to", ROOT)
 
 

@@ -36,6 +36,60 @@ def test_load_scene_colmap_binary():
         assert len(ids) >= 1 and all(i != k for i in ids)
 
 
+def test_point_quality_filter():
+    """The fixture carries 8 bad seed points (4 with reprojection error 5.0,
+    4 with track length 1) after the 300 good ones; load_sparse must drop
+    them per the reference filter (scene/colmap_loader.py:144-157)."""
+    from ibgs_tpu.data import colmap
+    sparse = os.path.join(FIXTURE, "sparse", "0")
+    _, _, pts, rgb = colmap.load_sparse(sparse)
+    assert pts.shape == (300, 3) and rgb.shape == (300, 3)
+    _, _, raw, _ = colmap.load_sparse(sparse, filter_points=False)
+    assert raw.shape == (308, 3)
+    # the bad points sit far from the origin — none may survive
+    assert np.linalg.norm(pts, axis=-1).max() < 10.0
+
+
+def _write_cameras_bin(path, model_id, params):
+    import struct
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, model_id, 64, 48))
+        f.write(struct.pack(f"<{len(params)}d", *params))
+
+
+def _sparse_copy_with_cameras(tmp_path, model_id, params):
+    import shutil
+    src = os.path.join(FIXTURE, "sparse", "0")
+    dst = tmp_path / "scene" / "sparse" / "0"
+    dst.mkdir(parents=True)
+    for name in ("images.bin", "points3D.bin"):
+        shutil.copy(os.path.join(src, name), dst / name)
+    _write_cameras_bin(str(dst / "cameras.bin"), model_id, params)
+    os.symlink(os.path.join(FIXTURE, "images"),
+               tmp_path / "scene" / "images")
+    return str(tmp_path / "scene")
+
+
+def test_distorted_camera_rejected(tmp_path):
+    """Reference refuses non-pinhole models (dataset_readers.py:199-206);
+    a SIMPLE_RADIAL camera with real distortion must fail loudly, not be
+    silently treated as pinhole."""
+    root = _sparse_copy_with_cameras(
+        tmp_path, 2, [60.0, 32.0, 24.0, 0.1])   # SIMPLE_RADIAL, k=0.1
+    with pytest.raises(ValueError, match="SIMPLE_RADIAL"):
+        load_scene(root)
+
+
+def test_zero_distortion_simple_radial_accepted(tmp_path):
+    """k == 0 SIMPLE_RADIAL is exactly a pinhole; keep loading it."""
+    root = _sparse_copy_with_cameras(
+        tmp_path, 2, [60.0, 32.0, 24.0, 0.0])
+    scene = load_scene(root, multi_view_num=3, multi_view_max_angle=120.0,
+                       multi_view_max_dis=10.0)
+    assert len(scene.train_cameras) == 4
+
+
 def test_load_scene_eval_split_holdout():
     scene = load_scene(FIXTURE, eval_split=True, multi_view_num=3,
                        multi_view_max_angle=120.0, multi_view_max_dis=10.0)

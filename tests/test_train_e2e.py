@@ -89,6 +89,45 @@ def test_instance_cap_overflow_grows(tmp_path, capsys):
     assert "exceed" in out and "growing cap" in out, out
 
 
+def test_densify_spike_grows_cap_next_step(tmp_path, capsys):
+    """A mid-interval densify spike must trigger cap growth on the very
+    next step, not at the next 100-iter poll (VERDICT r3 #8).  Two-phase:
+    a calibration run records the instance trajectory, then a second run
+    sets instance_cap between the pre- and post-densify counts and the
+    growth warning must land exactly one step after the densify."""
+    def run(cap):
+        scene = make_synthetic_scene(n_views=4, width=32, height=32,
+                                     n_gt=300, n_seed=150)
+        opt = OptimizationParams(
+            iterations=6, densify_from_iter=2, densification_interval=4,
+            densify_until_iter=6, opacity_reset_interval=10_000,
+            use_color_aggregation=False,
+            densify_grad_threshold=1e-12, densify_abs_grad_threshold=1e-12,
+            single_view_weight_from_iter=10_000,
+            multi_view_weight_from_iter=10_000,
+            number_src_frames=2, position_lr_max_steps=10)
+        pipe = PipelineParams(backend="oracle", instance_cap=cap,
+                              staircase_cull=False)
+        path = str(tmp_path / f"cap{cap}")
+        train(scene, ModelParams(sh_degree=0), opt, pipe,
+              model_path=path, save_iterations=(), test_iterations=(),
+              log_every=1, quiet=True)
+        import json
+        return [json.loads(l) for l in
+                open(os.path.join(path, "train_log.jsonl"))]
+
+    log = run(1 << 14)
+    inst = {m["iter"]: m["n_instances"] for m in log}
+    # densify runs after the step at it=4 → the spike shows at it=5
+    assert inst[5] > max(inst[i] for i in (1, 2, 3, 4)), inst
+    cap = max(inst[i] for i in (1, 2, 3, 4))
+    capsys.readouterr()
+    run(cap)
+    out = capsys.readouterr().out
+    assert "[it 5] WARNING: tile instances" in out and "growing cap" in out, \
+        out
+
+
 def test_debug_mode_dumps_snapshot_on_nonfinite(tmp_path):
     """PipelineParams.debug is the reference debug-machinery analog
     (diff_plane_rasterization/__init__.py:101-114 + train.py:367): the

@@ -33,9 +33,13 @@ def main(argv=None):
                         help="synthetic scene shape (with --synthetic)")
     parser.add_argument("--gsp_shards", type=int, default=0,
                         help="train under Gaussian-sharded SPMD on a "
-                             "(1, N)-device ('dp','gs') mesh; joins the "
+                             "(dp, N)-device ('dp','gs') mesh; joins the "
                              "multi-host group first if COORDINATOR_ADDRESS "
                              "etc. are set (parallel/distributed.py)")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel camera batching: dp cameras "
+                             "per step on the mesh's dp axis (requires "
+                             "--gsp_shards; dp*gsp_shards devices)")
     args = parser.parse_args(argv)
 
     mp = C.extract(args, C.ModelParams)
@@ -55,10 +59,10 @@ def main(argv=None):
         # loading below touches JAX)
         from ibgs_tpu.parallel import distributed
         distributed.initialize()       # single-process fallback is a no-op
-        mesh = distributed.global_mesh(1, args.gsp_shards,
+        mesh = distributed.global_mesh(args.dp, args.gsp_shards,
                                        axis_names=("dp", "gs"))
         import jax as _jax
-        print(f"GSP mesh: 1 x {args.gsp_shards} devices "
+        print(f"GSP mesh: {args.dp} x {args.gsp_shards} devices "
               f"across {_jax.process_count()} process(es)")
 
     if args.synthetic:
