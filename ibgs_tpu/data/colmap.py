@@ -102,13 +102,19 @@ def read_images_bin(path: str) -> dict:
 
 def read_images_txt(path: str) -> dict:
     out = {}
-    lines = [l.strip() for l in open(path)
-             if l.strip() and not l.startswith("#")]
-    for i in range(0, len(lines), 2):
+    # keep empty lines: each image header is FOLLOWED by a 2D-points line
+    # that may be empty (known-pose init files have no tracks)
+    lines = [l.strip() for l in open(path) if not l.lstrip().startswith("#")]
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
         el = lines[i].split()
         out[int(el[0])] = ColmapImage(
             int(el[0]), np.array([float(x) for x in el[1:5]]),
             np.array([float(x) for x in el[5:8]]), int(el[8]), el[9])
+        i += 2   # skip the (possibly empty) points line
     return out
 
 

@@ -145,9 +145,13 @@ def _read_colmap_infos(source: str, images_dir: str, eval_split: bool):
 
     split_path = os.path.join(source, "split.json")
     if eval_split and os.path.exists(split_path):
+        # reference honours BOTH lists (dataset_readers.py:169-182): a name
+        # in neither train nor test is excluded entirely
         split = json.load(open(split_path))
         test_names = set(split.get("test", []))
-        train = [i for i in infos if i.image_name not in test_names]
+        train_names = set(split.get("train", [])) or {
+            i.image_name for i in infos if i.image_name not in test_names}
+        train = [i for i in infos if i.image_name in train_names]
         test = [i for i in infos if i.image_name in test_names]
     elif eval_split:
         train = [i for k, i in enumerate(infos) if k % 8 != 0]
