@@ -35,7 +35,12 @@ def make_synthetic_scene(
     n_views: int = 12, width: int = 64, height: int = 64,
     n_gt: int = 1200, n_seed: int = 400, seed: int = 0,
     cam_radius: float = 3.0, eval_every: int = 6,
+    gt_backend: str = None, gt_instance_cap: int = None,
 ) -> SceneData:
+    """gt_backend/gt_instance_cap control the GT renders: the oracle's
+    lax.scan is O(instance cap) SEQUENTIAL steps, fine at test sizes but
+    unusable for production-scale scenes — those should render GT with
+    the Pallas backend on the accelerator (auto when not on CPU)."""
     rng = np.random.default_rng(seed)
     pts, col = _gt_cloud(rng, n_gt)
 
@@ -48,7 +53,12 @@ def make_synthetic_scene(
         normal_world=jnp.tile(jnp.array([0.0, 0, 1.0]), (n_gt, 1)),
         plane_offset=jnp.zeros((n_gt,)),
     )
-    cfg = RasterConfig(instance_cap=1 << 15, backend="oracle")
+    if gt_backend is None:
+        gt_backend = ("oracle" if jax.default_backend() == "cpu"
+                      else "pallas")
+    if gt_instance_cap is None:
+        gt_instance_cap = max(1 << 15, 1 << (int(n_gt * 12).bit_length()))
+    cfg = RasterConfig(instance_cap=gt_instance_cap, backend=gt_backend)
 
     cams, infos, imgs = [], [], []
     for k in range(n_views):

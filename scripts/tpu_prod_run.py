@@ -1,0 +1,103 @@
+"""Production-scale hardware convergence run (VERDICT r3 #3).
+
+Trains at the bench scale on the REAL TPU: 960x544 synthetic scene,
+~20k seed splats, >=5k iterations through every phase switch, with
+densification expected to grow past 100k splats and at least one
+P-capacity-growth recompile on-device.  Records the PSNR trajectory,
+it/s and peak device memory for BASELINE.md.
+
+Run: `python scripts/tpu_prod_run.py [out_dir] [resume_ckpt]`
+Env:  PROD_ITERS (5000), PROD_W/H (960/544), PROD_GT (150000),
+      PROD_SEED_PTS (20000), PROD_GRAD_TH / PROD_ABS_TH (densify
+      thresholds), PROD_LOG_EVERY (100).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_prod_run"
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+    from ibgs_tpu.config import (ModelParams, OptimizationParams,
+                                 PipelineParams)
+    from ibgs_tpu.data.synthetic import make_synthetic_scene
+    from ibgs_tpu.train.loop import train
+
+    W = int(os.environ.get("PROD_W", 960))
+    H = int(os.environ.get("PROD_H", 544))
+    iters = int(os.environ.get("PROD_ITERS", 5000))
+    t0 = time.time()
+    scene = make_synthetic_scene(
+        n_views=16, width=W, height=H,
+        n_gt=int(os.environ.get("PROD_GT", 150_000)),
+        n_seed=int(os.environ.get("PROD_SEED_PTS", 20_000)), eval_every=8)
+    print(f"scene built in {time.time() - t0:.0f}s "
+          f"({scene.n_train} train views)", flush=True)
+
+    opt = OptimizationParams(
+        iterations=iters,
+        densify_from_iter=500, densification_interval=100,
+        densify_until_iter=int(iters * 0.7), opacity_reset_interval=3000,
+        densify_grad_threshold=float(os.environ.get("PROD_GRAD_TH", 2e-4)),
+        densify_abs_grad_threshold=float(os.environ.get("PROD_ABS_TH", 4e-4)),
+        single_view_weight_from_iter=700, multi_view_weight_from_iter=700,
+        use_color_aggregation=True, start_color_aggregation_iter=1500,
+        color_aggregate_burnin_steps=500,
+        number_src_frames=4, nb_visible_src_frames=3,
+        position_lr_max_steps=iters,
+    )
+    # capacity starts SMALL on purpose: growing past 100k alive splats
+    # must exercise the on-device capacity-growth recompile path
+    pipe = PipelineParams(
+        backend=os.environ.get("PROD_BACKEND", "pallas"),
+        instance_cap=int(os.environ.get("PROD_CAP", 1 << 19)),
+        staircase_cull=True)
+    start_ckpt = sys.argv[2] if len(sys.argv) > 2 else None
+
+    t0 = time.time()
+    evals = tuple(range(1000, iters + 1, 1000))
+    state, _stacks = train(
+        scene, ModelParams(sh_degree=2), opt, pipe, model_path=out,
+        save_iterations=(iters,), test_iterations=evals,
+        checkpoint_iterations=tuple(range(1000, iters, 1000)),
+        start_checkpoint=start_ckpt,
+        log_every=int(os.environ.get("PROD_LOG_EVERY", 100)), quiet=False)
+    wall = time.time() - t0
+
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        mem = {k: int(v) for k, v in stats.items()
+               if "bytes" in k or "size" in k}
+    except Exception as e:
+        mem = {"error": str(e)}
+
+    log = [json.loads(l) for l in open(os.path.join(out, "train_log.jsonl"))]
+    print(json.dumps({
+        "metric": "prod-scale hardware training",
+        "resolution": [W, H], "iterations": iters,
+        "wall_s": round(wall, 1),
+        "it_per_s": round(iters / wall, 2),
+        "points_final": log[-1]["points"],
+        "psnr_trajectory": [(m["iter"], round(m["psnr"], 2))
+                            for m in log[:: max(len(log) // 12, 1)]],
+        "final_train_psnr": round(log[-1]["psnr"], 2),
+        "memory_stats": mem,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
