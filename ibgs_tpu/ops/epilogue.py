@@ -355,6 +355,51 @@ def _warp_views_bwd(res, cts):
 _warp_views.defvjp(_warp_views_fwd, _warp_views_bwd)
 
 
+# Occlusion-depth footprint storage experiment: the depth tables are
+# (Hs·Ws, 4) f32 16-byte rows (33.4 MB/view at 1080p — uncached, and the
+# occlusion gathers cost 36 ms/step there).  IBGS_DEPTH_F16=1 packs each
+# 2x2 footprint as FOUR f16s in TWO int32 lanes → 8-byte rows, 4x smaller
+# table (int32 lanes dodge the 2-byte-table layout flip).  f16 keeps
+# ~5e-4 relative precision against the 0.01 relative depth-error
+# threshold (the reference's own texture filtering interpolates at 8-bit
+# fractional precision, forward.cu:550's tex2DLayered).  Default OFF
+# until the 1080p A/B wins on hardware.
+_DEPTH_F16 = _os.environ.get("IBGS_DEPTH_F16", "0") == "1"
+
+
+def pack_bilinear_corners_f16(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) f32 → (H·W, 2) int32; row y·W+x = [f16(d00)|f16(d01),
+    f16(d10)|f16(d11)] (same clamp semantics as pack_bilinear_corners)."""
+    H, W = img.shape
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    downright = jnp.concatenate([right[1:], right[-1:]], axis=0)
+
+    def pk(a, b):
+        ab = jnp.stack([a.astype(jnp.float16), b.astype(jnp.float16)],
+                       axis=-1)
+        return lax.bitcast_convert_type(ab, jnp.int32)
+
+    return jnp.stack([pk(img, right), pk(down, downright)],
+                     axis=-1).reshape(H * W, 2)
+
+
+def bilinear_sample_packed_f16(packed: jnp.ndarray, H: int, W: int,
+                               u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample from a pack_bilinear_corners_f16 table → u.shape."""
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0).reshape(-1)
+    fv = (v - v0).reshape(-1)
+    x0 = jnp.clip(u0.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(v0.astype(jnp.int32), 0, H - 1)
+    rows = packed[(y0 * W + x0).reshape(-1)]          # (n, 2) int32
+    c = lax.bitcast_convert_type(rows, jnp.float16).astype(jnp.float32)
+    out = ((1 - fu) * (1 - fv) * c[:, 0, 0] + fu * (1 - fv) * c[:, 0, 1]
+           + (1 - fu) * fv * c[:, 1, 0] + fu * fv * c[:, 1, 1])
+    return out.reshape(u.shape)
+
+
 def median_depth_only(blend: BlendOutputs) -> jnp.ndarray:
     """Depth-only epilogue (forward.cu:507-510)."""
     tot = blend.buf_weight.sum(-1)
@@ -452,11 +497,17 @@ def ibr_epilogue(
     pum = qmx * cam.fx * inv_zm + cam.cx
     pvm = qmy * cam.fy * inv_zm + cam.cy
     inbm = (pum >= 0.0) & (pum <= W - 1.0) & (pvm >= 0.0) & (pvm <= Hs - 1.0)
-    wdepth = jnp.stack(
-        [bilinear_sample_packed(pack_bilinear_corners(depths[s]),
-                                Hs, Ws, pum[s], pvm[s])[..., 0]
-         for s in range(S)], axis=0
-    )
+    if _DEPTH_F16:
+        wdepth = jnp.stack(
+            [bilinear_sample_packed_f16(pack_bilinear_corners_f16(depths[s]),
+                                        Hs, Ws, pum[s], pvm[s])
+             for s in range(S)], axis=0)
+    else:
+        wdepth = jnp.stack(
+            [bilinear_sample_packed(pack_bilinear_corners(depths[s]),
+                                    Hs, Ws, pum[s], pvm[s])[..., 0]
+             for s in range(S)], axis=0
+        )
     wdepth = jnp.where(inbm, wdepth, 0.0)
     depth_err = jnp.abs(wdepth - qmz) * inv_zm              # (S,H,W)
 

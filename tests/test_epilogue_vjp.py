@@ -109,3 +109,22 @@ def test_warp_views_rgb10_close_to_exact_bilinear():
     wmax = float(np.abs(exp_w).max())
     np.testing.assert_allclose(np.asarray(got_c), exp_c, rtol=0,
                                atol=(0.5 / 1023) * wmax + 1e-5)
+
+
+def test_depth_f16_pack_matches_f32():
+    """IBGS_DEPTH_F16 occlusion-table packing: bilinear samples match the
+    f32 footprint path to f16 precision (half-ULP ~5e-4 relative, well
+    under the 0.01 relative depth-error threshold it feeds)."""
+    import numpy as np
+    from ibgs_tpu.ops.epilogue import (
+        bilinear_sample_packed, bilinear_sample_packed_f16,
+        pack_bilinear_corners, pack_bilinear_corners_f16)
+    rng = np.random.default_rng(0)
+    H, W = 37, 53
+    img = jnp.asarray(rng.random((H, W)) * 5.0, jnp.float32)
+    u = jnp.asarray(rng.random(500) * (W - 1), jnp.float32)
+    v = jnp.asarray(rng.random(500) * (H - 1), jnp.float32)
+    a = bilinear_sample_packed(pack_bilinear_corners(img), H, W, u, v)[..., 0]
+    b = bilinear_sample_packed_f16(pack_bilinear_corners_f16(img), H, W, u, v)
+    err = np.abs(np.asarray(a) - np.asarray(b)) / (np.abs(np.asarray(a)) + 1e-9)
+    assert err.max() < 2e-3, err.max()
