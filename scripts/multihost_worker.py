@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="also run one FULL-objective GSP training step "
                          "across the process group")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="dp axis size for the --train step (dp camera "
+                         "batch; the dp grad psum crosses the process "
+                         "boundary when dp rows span processes)")
     args = ap.parse_args()
 
     import jax
@@ -116,20 +120,34 @@ def main():
             app_opt=SideOptState.init(jnp.zeros((1600, 2))),
             net_params=net_params, net_opt=SideOptState.init(net_params),
             spatial_lr_scale=jnp.float32(1.0))
-        gstep = gsp_full_train_step(opt, cfg, net, phase, mesh, W, H,
+        dp = args.dp
+        gs = n_dev // dp
+        mesh_t = (mesh if dp == 1
+                  else distributed.global_mesh(dp, gs,
+                                               axis_names=("dp", "gs")))
+        # band height must split over the (smaller) gs axis
+        Ht = 16 * gs
+        cam_t = simple_camera(W, Ht)
+        gstep = gsp_full_train_step(opt, cfg, net, phase, mesh_t, W, Ht,
                                     cap_local=4096, exchange_cap=2048)
-        srcs_np = np.asarray(rng.random((1, S, H, W, 3)), np.float32)
+        srcs_np = np.asarray(rng.random((dp, S, Ht, W, 3)), np.float32)
         from ibgs_tpu.ops.epilogue import SourceViews
         srcs = SourceViews(
             images=jnp.asarray(srcs_np),
-            depths=jnp.full((1, S, H, W), 3.0, jnp.float32),
-            ref_to_src=jnp.tile(jnp.eye(4)[None, None], (1, S, 1, 1)),
-            cam_pos=jnp.zeros((1, S, 3)), count=jnp.full((1,), S, jnp.int32))
-        gts = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
-        s2, aux = gstep(state, _cam_stack([cam]),
-                        jnp.zeros((1,), jnp.int32), gts, srcs, jnp.int32(5),
-                        jnp.zeros(3), jnp.bool_(True), jnp.float32(1.0),
-                        jnp.float32(1e-4))
+            depths=jnp.full((dp, S, Ht, W), 3.0, jnp.float32),
+            ref_to_src=jnp.tile(jnp.eye(4)[None, None], (dp, S, 1, 1)),
+            cam_pos=jnp.zeros((dp, S, 3)),
+            count=jnp.full((dp,), S, jnp.int32))
+        gts = jnp.asarray(rng.random((dp, Ht, W, 3)), jnp.float32)
+        net_params_t = (net_params if Ht == H else net.init(
+            jax.random.PRNGKey(0), jnp.zeros((Ht, W, S, 7)),
+            jnp.zeros((Ht, W, 3)), jnp.zeros((Ht, W, 3))))
+        state = state.replace(net_params=net_params_t,
+                              net_opt=SideOptState.init(net_params_t))
+        s2, aux = gstep(state, _cam_stack([cam_t] * dp),
+                        jnp.zeros((dp,), jnp.int32), gts, srcs,
+                        jnp.int32(5), jnp.zeros(3), jnp.bool_(True),
+                        jnp.float32(1.0), jnp.float32(1e-4))
         loss = float(aux["loss"])            # replicated → readable
         assert np.isfinite(loss), loss
         assert int(aux["n_overflow"]) == 0

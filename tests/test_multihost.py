@@ -25,7 +25,11 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_gsp_render_exact():
+@pytest.mark.parametrize("dp", [1, 2])
+def test_two_process_gsp_render_exact(dp):
+    """dp=2 additionally spans the dp grad-psum across the two processes
+    (2x4 devices → a (2, 4) ('dp','gs') mesh with one process per two
+    dp-row halves)."""
     port = _free_port()
     env = dict(os.environ)
     env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
@@ -35,7 +39,8 @@ def test_two_process_gsp_render_exact():
             [sys.executable, os.path.join(ROOT, "scripts",
                                           "multihost_worker.py"),
              "--coordinator", f"localhost:{port}",
-             "--nproc", "2", "--pid", str(pid), "--train"],
+             "--nproc", "2", "--pid", str(pid), "--train",
+             "--dp", str(dp)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=ROOT)
         for pid in (0, 1)
