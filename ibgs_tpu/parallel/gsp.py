@@ -130,39 +130,55 @@ def exchange_and_blend(params_view, cam: Camera, rcfg: RasterConfig,
         feats_g = feats_g.at[:, 0:2].add(params_view["screen_dummy"])
     feats_inst = binning.pack_rows(feats_g, bins)
 
-    # 3. route instances to their band owner (dest monotone in tile id)
-    tile = bins.tile_id                                  # sorted ascending
-    dest = tile // tiles_per_band                        # invalid → n_bands
-    seg_start = jnp.searchsorted(
-        tile, jnp.arange(n_bands + 1, dtype=jnp.int32) * tiles_per_band
-    ).astype(jnp.int32)
-    local_pos = jnp.arange(cap_local, dtype=jnp.int32) - seg_start[
-        jnp.minimum(dest, n_bands)]
-    keep = bins.inst_valid & (local_pos < exchange_cap) & (dest < n_bands)
-    n_overflow = (bins.inst_valid & ~keep).sum()
-    send_idx = jnp.where(keep, dest * exchange_cap + local_pos,
-                         n_bands * exchange_cap)
-    sendf = jnp.zeros((n_bands * exchange_cap, 16), jnp.float32).at[
-        send_idx].set(feats_inst, mode="drop")
-    sendt = jnp.full((n_bands * exchange_cap,), tiles_per_band,
-                     jnp.int32).at[send_idx].set(
-        tile - dest * tiles_per_band, mode="drop")
-    recvf = lax.all_to_all(sendf.reshape(n_bands, exchange_cap, 16),
-                           axis_name, 0, 0).reshape(-1, 16)
-    recvt = lax.all_to_all(sendt.reshape(n_bands, exchange_cap),
-                           axis_name, 0, 0).reshape(-1)
+    if n_bands == 1 and exchange_cap >= cap_local:
+        # 3-4. one band owns every tile, and with exchange_cap >= cap_local
+        # nothing can be dropped: the exchange is an IDENTITY.  The local
+        # binning already emits instances sorted by (tile, depth) with
+        # invalid rows (tile == num_tiles) at the end, so the send scatter,
+        # all_to_all, two-key merge re-sort and permutation row gather are
+        # all skipped — measured on v5e at the bench scene, this cuts the
+        # single-chip GSP machinery tax (the n_gs=1 production path and
+        # every dp-only mesh) without changing a bit of output: the generic
+        # path composes scatter → all_to_all → sort → gather whose product
+        # is the identity permutation here, in forward AND transpose.
+        n_overflow = jnp.int32(0)
+        feats_band = feats_inst
+        start, stop = bins.tile_start, bins.tile_stop
+    else:
+        # 3. route instances to their band owner (dest monotone in tile id)
+        tile = bins.tile_id                              # sorted ascending
+        dest = tile // tiles_per_band                    # invalid → n_bands
+        seg_start = jnp.searchsorted(
+            tile, jnp.arange(n_bands + 1, dtype=jnp.int32) * tiles_per_band
+        ).astype(jnp.int32)
+        local_pos = jnp.arange(cap_local, dtype=jnp.int32) - seg_start[
+            jnp.minimum(dest, n_bands)]
+        keep = (bins.inst_valid & (local_pos < exchange_cap)
+                & (dest < n_bands))
+        n_overflow = (bins.inst_valid & ~keep).sum()
+        send_idx = jnp.where(keep, dest * exchange_cap + local_pos,
+                             n_bands * exchange_cap)
+        sendf = jnp.zeros((n_bands * exchange_cap, 16), jnp.float32).at[
+            send_idx].set(feats_inst, mode="drop")
+        sendt = jnp.full((n_bands * exchange_cap,), tiles_per_band,
+                         jnp.int32).at[send_idx].set(
+            tile - dest * tiles_per_band, mode="drop")
+        recvf = lax.all_to_all(sendf.reshape(n_bands, exchange_cap, 16),
+                               axis_name, 0, 0).reshape(-1, 16)
+        recvt = lax.all_to_all(sendt.reshape(n_bands, exchange_cap),
+                               axis_name, 0, 0).reshape(-1)
 
-    # 4. merge by (local tile, depth) and blend the band
-    cap_band = recvt.shape[0]
-    depth_key = lax.stop_gradient(recvf[:, 15])
-    depth_key = jnp.where(recvt < tiles_per_band, depth_key, jnp.inf)
-    sortt, _, perm = lax.sort(
-        (recvt, depth_key, jnp.arange(cap_band, dtype=jnp.int32)),
-        num_keys=2)
-    feats_band = recvf[perm]
-    n_valid = (sortt < tiles_per_band).sum()
-    start, stop = binning.tile_ranges_from_sorted(
-        sortt, tiles_per_band, n_valid)
+        # 4. merge by (local tile, depth) and blend the band
+        cap_band = recvt.shape[0]
+        depth_key = lax.stop_gradient(recvf[:, 15])
+        depth_key = jnp.where(recvt < tiles_per_band, depth_key, jnp.inf)
+        sortt, _, perm = lax.sort(
+            (recvt, depth_key, jnp.arange(cap_band, dtype=jnp.int32)),
+            num_keys=2)
+        feats_band = recvf[perm]
+        n_valid = (sortt < tiles_per_band).sum()
+        start, stop = binning.tile_ranges_from_sorted(
+            sortt, tiles_per_band, n_valid)
 
     from ibgs_tpu.ops import blend_pallas, blend_oracle
     from ibgs_tpu.ops.blend_common import Instances
