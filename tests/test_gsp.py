@@ -251,6 +251,27 @@ def test_gsp_densify_is_shard_local():
 
 
 @pytest.mark.slow
+def test_gsp_single_band_fast_path_matches_generic():
+    """At n_gs=1 the exchange is skipped entirely (identity fast path,
+    taken when exchange_cap >= cap_local); forcing the generic
+    scatter/all_to_all/re-sort path with exchange_cap < cap_local (large
+    enough that nothing drops) must produce the identical image — the
+    two code paths must agree bit-for-bit with each other and with the
+    unsharded renderer."""
+    model, cam = _model(seed=5, n=60, cap=128, H=128, W=32)
+    mesh = make_mesh(1, 1, axis_names=("dp", "gs"))
+    img_fast, ovf_fast = gsp_render(model, cam, CFG, mesh, cap_local=1024,
+                                    exchange_cap=1024)
+    img_gen, ovf_gen = gsp_render(model, cam, CFG, mesh, cap_local=1024,
+                                  exchange_cap=512)
+    assert int(ovf_fast) == 0 and int(ovf_gen) == 0
+    np.testing.assert_array_equal(np.asarray(img_fast), np.asarray(img_gen))
+    ref, _ = render_view(model, cam, CFG, jnp.zeros(3), render_geo=False,
+                         return_depth_normal=False)
+    np.testing.assert_allclose(np.asarray(img_fast),
+                               np.asarray(ref.render), rtol=1e-5, atol=1e-6)
+
+
 def test_gsp_overflow_counter():
     """A too-small exchange capacity reports dropped instances instead of
     crashing (and still renders finitely)."""
