@@ -39,8 +39,21 @@ class TrainLogger:
         if self.writer is None:
             return
         import torch
-        self.writer.add_histogram(tag, torch.from_numpy(
-            np.asarray(values, np.float32)), it)
+        # Logging must never kill a training run: drop non-finite values
+        # (a NaN-poisoned model otherwise makes add_histogram raise
+        # "The histogram is empty") and skip the panel when nothing is
+        # left, surfacing the fraction as a scalar instead.
+        arr = np.asarray(values, np.float32).ravel()
+        finite = arr[np.isfinite(arr)]
+        if finite.size < arr.size:
+            self.scalars(it, {f"{tag}/nonfinite_frac":
+                              1.0 - finite.size / max(arr.size, 1)})
+        if finite.size == 0:
+            return
+        try:
+            self.writer.add_histogram(tag, torch.from_numpy(finite), it)
+        except ValueError:
+            pass
 
     def close(self):
         if self.writer is not None:
