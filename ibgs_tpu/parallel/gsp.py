@@ -411,6 +411,13 @@ def gsp_full_train_step(opt, rcfg: RasterConfig, net, phase, mesh: Mesh,
             (g_params, g_app, g_net, g_sd, g_sda) = grad_fn(
                 model_loc.params, app_ab, net_params, sdum, sdum)
 
+        # debug-mode trip wire, mirrors trainer.make_train_step: reverse-
+        # only NaNs leave every loss scalar finite
+        aux["nonfinite_grads"] = sum(
+            (~jnp.isfinite(x)).sum() for t in
+            (g_params, g_app, g_net, g_sd, g_sda)
+            for x in jax.tree.leaves(t))
+
         loss = lax.psum(loss, ("dp", "gs"))
         # gs shards own disjoint Gaussians (cross-gs terms already arrived
         # through the collective transposes); only dp replicas reduce

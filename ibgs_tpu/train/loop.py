@@ -388,10 +388,12 @@ def train(
         # a per-step D2H sync of the loss and dumps the step's pre-step
         # input pack to <model_path>/snapshot_fw.npz on the first
         # non-finite step so it can be replayed in isolation.
-        if pipe.debug and not all(
-                np.isfinite(float(aux[k])) for k in
-                ("image_loss", "normal_loss", "photo_loss", "agg_loss")
-                if k in aux):
+        if pipe.debug and (
+                int(aux.get("nonfinite_grads", 0)) > 0
+                or not all(
+                    np.isfinite(float(aux[k])) for k in
+                    ("image_loss", "normal_loss", "photo_loss", "agg_loss")
+                    if k in aux)):
             snap = os.path.join(model_path, "snapshot_fw.npz")
             p = prev_state.model.params
             np.savez(snap, iter=it, cam_idx=cam_idx, src_idx=idx,

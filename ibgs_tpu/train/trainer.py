@@ -204,6 +204,15 @@ def make_train_step(opt: OptimizationParams, rcfg: RasterConfig,
             sdum, sdum, state, cam, cam_uid, gt, src, iteration, bg,
             use_app, burned_in)
 
+        # Non-finite-gradient sentinel (debug-mode trip wire): a reverse-
+        # only NaN (0·inf through a masked chain) poisons Adam moments and
+        # then the params while every LOSS scalar stays finite — fetched
+        # by the loop's debug mode to dump the offending step's inputs.
+        aux["nonfinite_grads"] = sum(
+            (~jnp.isfinite(x)).sum() for t in
+            (g_params, g_app, g_net, g_sd, g_sda)
+            for x in jax.tree.leaves(t))
+
         lrs = lr_tree(lrcfg, iteration.astype(jnp.float32),
                       state.spatial_lr_scale)
         model = adam_step(state.model, g_params, lrs)
