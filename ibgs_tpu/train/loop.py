@@ -403,10 +403,20 @@ def train(
                      normal=np.asarray(p.normal), offset=np.asarray(p.offset),
                      sh_dc=np.asarray(p.sh_dc), sh_rest=np.asarray(p.sh_rest),
                      alive=np.asarray(prev_state.model.alive),
-                     gt=np.asarray(gt), bg=np.asarray(bg))
+                     gt=np.asarray(gt), bg=np.asarray(bg),
+                     # the exact source pack used (the depth half is the
+                     # EVOLVED per-view cache — not reconstructible offline)
+                     src_images=np.asarray(src.images),
+                     src_depths=np.asarray(src.depths),
+                     src_ref_to_src=np.asarray(src.ref_to_src),
+                     src_cam_pos=np.asarray(src.cam_pos),
+                     src_count=np.asarray(src.count),
+                     burned_in=float(burned_in), use_app=bool(use_app),
+                     nonfinite_grads=int(aux.get("nonfinite_grads", 0)))
             raise FloatingPointError(
-                f"[it {it}] non-finite loss; inputs dumped to {snap} "
-                f"(reference debug-mode analog)")
+                f"[it {it}] non-finite step (nonfinite_grads="
+                f"{int(aux.get('nonfinite_grads', 0))}); inputs dumped to "
+                f"{snap} (reference debug-mode analog)")
 
         if phase.render_geo:
             if mesh is None:
