@@ -57,7 +57,15 @@ def blend_oracle(
         dx = m2d[0] - px
         dy = m2d[1] - py
         power = -0.5 * (con[0] * dx * dx + con[2] * dy * dy) - con[1] * dx * dy
-        alpha = jnp.minimum(bc.ALPHA_CLAMP, op * jnp.exp(power))
+        # clamp BEFORE the exp: an f32-indefinite conic (det = a*c - b^2
+        # cancels to <= 0 on extreme-anisotropy needles) makes power > 0
+        # somewhere, and exp(+huge) = inf turns the masked-out VJP into
+        # 0 * inf = NaN — which the pack-bwd cumsum then spreads to EVERY
+        # Gaussian's gradient (observed: prod-run collapse at iter ~1800).
+        # Forward-identical: the ok gate already excludes power > 0
+        # (reference forward.cu's `if (power > 0) continue;`).
+        alpha = jnp.minimum(bc.ALPHA_CLAMP,
+                            op * jnp.exp(jnp.minimum(power, 0.0)))
         ok = in_range & (power <= 0.0) & (alpha >= bc.ALPHA_MIN)
         test_t = T * (1.0 - alpha)
         crossing = test_t < bc.T_STOP

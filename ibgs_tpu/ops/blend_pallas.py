@@ -139,7 +139,14 @@ def _alpha_terms(fv, j, px, py):
     dy = col(FY) - py
     power = (-0.5 * (col(FCA) * dx * dx + col(FCC) * dy * dy)
              - col(FCB) * dx * dy)
-    g = jnp.exp(power)
+    # exp of the CLAMPED power: an f32-indefinite conic (det = a*c - b^2
+    # cancels to <= 0 on extreme-anisotropy needles) makes power > 0 at
+    # some pixels; exp(+huge) = inf there turns every mask-multiply in the
+    # hand-written backward into 0 * inf = NaN, and the pack-bwd cumsum
+    # spreads that to EVERY Gaussian's gradient (prod-run collapse at
+    # iter ~1800, 960x544).  Forward-identical: ok excludes power > 0
+    # (reference forward.cu's `if (power > 0) continue;`).
+    g = jnp.exp(jnp.minimum(power, 0.0))
     raw = col(FOP) * g
     alpha = jnp.minimum(bc.ALPHA_CLAMP, raw)
     ok = (power <= 0.0) & (alpha >= bc.ALPHA_MIN)

@@ -114,3 +114,80 @@ def test_grad_parity(geo):
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-6,
             err_msg=f"grad mismatch for {name}",
         )
+
+
+def test_indefinite_conic_grads_finite():
+    """An f32-indefinite conic (det = a*c - b^2 cancels to <= 0 on extreme-
+    anisotropy needle splats) makes power > 0 at some pixels.  The kernels
+    must not turn the masked-out exp into 0*inf = NaN in reverse: one NaN
+    instance cotangent spreads through the pack-bwd cumsum segment-sum to
+    EVERY Gaussian's gradient (observed as a whole-model collapse at iter
+    ~1800 of the 960x544 hardware run).  Reference parity: forward.cu's
+    `if (power > 0.0f) continue;` skip."""
+    from flax import struct
+
+    from ibgs_tpu.ops import blend_oracle as BO
+    from ibgs_tpu.ops import blend_pallas as BP
+    from ibgs_tpu.ops.blend_common import BlendConfig, Instances
+
+    @struct.dataclass
+    class _Bins:
+        tile_start: jnp.ndarray
+        tile_stop: jnp.ndarray
+
+    Wp, Hp = 32, 16
+    cfg = BlendConfig(tile_h=16, tile_w=32, buffer_len=4,
+                      render_geo=True, depth_only=False)
+    cap = 8
+    rng = np.random.default_rng(0)
+    # b^2 > a*c: indefinite quadratic — power = +(dx)^2 along dx = -dy
+    # (up to ~200 at tile scale, so exp overflows f32 to inf pre-fix),
+    # <= 0 elsewhere, so some pixels still blend (the hyperbola's valid
+    # region)
+    conic = jnp.tile(jnp.asarray([[1.0, 2.0, 1.0]], jnp.float32), (cap, 1))
+    mean2d = jnp.asarray(
+        np.stack([rng.uniform(4, 28, cap), rng.uniform(2, 14, cap)], 1),
+        jnp.float32)
+    opacity = jnp.full((cap,), 0.9, jnp.float32)
+    rgb = jnp.asarray(rng.uniform(0, 1, (cap, 3)), jnp.float32)
+    normal = jnp.tile(jnp.asarray([[0.1, 0.0, 0.9]], jnp.float32), (cap, 1))
+    dist = jnp.full((cap,), -2.0, jnp.float32)
+    bins = _Bins(tile_start=jnp.zeros((1,), jnp.int32),
+                 tile_stop=jnp.full((1,), cap, jnp.int32))
+    fx = fy = 30.0
+    cx, cy = 16.0, 8.0
+
+    def outs_sum(b):
+        return (b.color.sum() + b.final_t.sum() + b.normal.sum()
+                + (b.buf_depth * b.buf_weight).sum())
+
+    def f_oracle(m2d, con, op, c3, n3, d):
+        inst = Instances(mean2d=m2d, conic=con, opacity=op, rgb=c3,
+                         normal=n3, dist=d)
+        return outs_sum(BO.blend_oracle(inst, bins, Wp, Hp, fx, fy, cx, cy,
+                                        cfg))
+
+    def f_pallas(feats):
+        return outs_sum(BP.blend_packed(feats, bins, Wp, Hp, fx, fy, cx, cy,
+                                        cfg))
+
+    va, ga = jax.value_and_grad(f_oracle, argnums=(0, 1, 2, 3, 4, 5))(
+        mean2d, conic, opacity, rgb, normal, dist)
+    feats = jnp.concatenate(
+        [mean2d, conic, opacity[:, None], rgb, normal, dist[:, None],
+         jnp.zeros((cap, 2), jnp.float32)], axis=1)
+    vb, gb = jax.value_and_grad(f_pallas)(feats)
+
+    assert np.isfinite(float(va)) and np.isfinite(float(vb))
+    np.testing.assert_allclose(float(vb), float(va), rtol=1e-5)
+    for name, g in zip(("mean2d", "conic", "opacity", "rgb", "normal",
+                        "dist"), ga):
+        assert np.isfinite(np.asarray(g)).all(), f"oracle grad[{name}] NaN"
+    assert np.isfinite(np.asarray(gb)).all(), "pallas grad NaN"
+    # grad parity on the shared columns
+    np.testing.assert_allclose(np.asarray(gb[:, 0:2]), np.asarray(ga[0]),
+                               rtol=5e-4, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(gb[:, 2:5]), np.asarray(ga[1]),
+                               rtol=5e-4, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(gb[:, 5]), np.asarray(ga[2]),
+                               rtol=5e-4, atol=5e-6)
