@@ -133,6 +133,25 @@ def main():
 
     ms_u = time_chain(unsharded, (gt, src), "unsharded")
 
+    prof_dir = os.environ.get("GSPTAX_PROFILE")
+    if prof_dir:
+        # capture ONE warm chain of the unsharded FULL train step for
+        # scripts/parse_trace.py (itemizes the training-only stages the
+        # bench graph lacks: aggregation net, extra SSIMs, Adam, stats)
+        def chain_u(state, gt, src):
+            def body(i, st):
+                return unsharded(st, jnp.int32(100) + i, gt, src)
+            st = lax.fori_loop(0, iters, body, state)
+            return st.model.params.xyz.sum()
+
+        fit = jax.jit(chain_u)
+        float(fit(state, gt, src))
+        with jax.profiler.trace(prof_dir):
+            float(fit(state, gt, src))
+        print(json.dumps({"profile": prof_dir, "chain_iters": iters}),
+              flush=True)
+        return
+
     # --- GSP on a 1x1 mesh ---
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "gs"))
     gstep = gsp_full_train_step(opt, rcfg, net, phase, mesh, W, H,
