@@ -412,11 +412,15 @@ def gsp_full_train_step(opt, rcfg: RasterConfig, net, phase, mesh: Mesh,
                 model_loc.params, app_ab, net_params, sdum, sdum)
 
         # debug-mode trip wire, mirrors trainer.make_train_step: reverse-
-        # only NaNs leave every loss scalar finite
-        aux["nonfinite_grads"] = sum(
+        # only NaNs leave every loss scalar finite.  Kept OUT of the
+        # dp-averaged aux dict below: each gs shard counts only its own
+        # per-shard grads, and averaging an int count over dp would
+        # truncate fractional means back to 0 — it is psum'd over BOTH
+        # axes as an int32 total instead.
+        nonfinite_sentinel = sum(
             (~jnp.isfinite(x)).sum() for t in
             (g_params, g_app, g_net, g_sd, g_sda)
-            for x in jax.tree.leaves(t))
+            for x in jax.tree.leaves(t)).astype(jnp.int32)
 
         loss = lax.psum(loss, ("dp", "gs"))
         # gs shards own disjoint Gaussians (cross-gs terms already arrived
@@ -434,6 +438,7 @@ def gsp_full_train_step(opt, rcfg: RasterConfig, net, phase, mesh: Mesh,
                                      extras["radius"], width, height)
 
         aux = {k: lax.psum(v, "dp") / dp for k, v in aux.items()}
+        aux["nonfinite_grads"] = lax.psum(nonfinite_sentinel, ("dp", "gs"))
         aux["n_overflow"] = lax.psum(extras["n_overflow"], ("dp", "gs"))
         aux["n_instances"] = lax.psum(extras["n_instances"],
                                       ("dp", "gs")) // dp

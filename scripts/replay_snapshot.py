@@ -77,8 +77,13 @@ def main():
                  "offset", "sh_dc", "sh_rest"):
         a = d[name][np.asarray(alive)]
         nf = (~np.isfinite(a)).sum()
-        print(f"  in[{name}]: nonfinite {nf}  min {np.nanmin(a):.4g} "
-              f"max {np.nanmax(a):.4g}")
+        if a.size and np.isfinite(a).any():
+            print(f"  in[{name}]: nonfinite {nf}  min {np.nanmin(a):.4g} "
+                  f"max {np.nanmax(a):.4g}")
+        else:
+            # zero alive rows / all-NaN leaf: exactly the degenerate
+            # snapshots this tool triages — don't die on the report line
+            print(f"  in[{name}]: nonfinite {nf}  (no finite elements)")
 
     src = SourceViews(
         images=jnp.asarray(d["src_images"]),

@@ -272,6 +272,7 @@ def test_gsp_single_band_fast_path_matches_generic():
                                np.asarray(ref.render), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gsp_overflow_counter():
     """A too-small exchange capacity reports dropped instances instead of
     crashing (and still renders finitely)."""
