@@ -28,6 +28,11 @@ class ModelParams:
     multi_view_max_angle: float = 30.0
     multi_view_min_dis: float = 0.01
     multi_view_max_dis: float = 1.5
+    # Static model slot capacity at init (0 = auto: 4x seed points rounded
+    # to a power of two).  Reference-scale runs (~1M seeds) set this
+    # explicitly: capacity-sized sorts/scans pay for every padded row, and
+    # the training loop doubles capacity on demand anyway.
+    init_capacity: int = 0
 
 
 @dataclass

@@ -56,6 +56,58 @@ class _Bins:
     tile_stop: jnp.ndarray
 
 
+@jax.custom_vjp
+def _route_rows(feats, src_of_slot, slot_of_src, slot_valid, src_kept):
+    """Send-side slot assembly as a GATHER with a gather backward.
+
+    The slot→instance map is injective (each kept instance fills exactly
+    one send slot), so both directions are plain row gathers.  Left to
+    XLA, the natural formulation — a (cap_local, C)-row scatter forward
+    (or a scatter-add transpose of a gather) — costs per-ELEMENT, not
+    per-row (~160 ms for a 16-wide scatter-add at cap 2M on v5e, the
+    same trap binning.pack_rows documents); this helper is why the
+    generic exchange has no wide scatter in forward OR backward."""
+    out = feats[jnp.clip(src_of_slot, 0, feats.shape[0] - 1)]
+    return jnp.where(slot_valid[:, None], out, 0.0)
+
+
+def _route_rows_fwd(feats, src_of_slot, slot_of_src, slot_valid, src_kept):
+    return (_route_rows(feats, src_of_slot, slot_of_src, slot_valid,
+                        src_kept),
+            (src_of_slot, slot_of_src, slot_valid, src_kept,
+             feats.shape[0]))
+
+
+def _route_rows_bwd(res, g):
+    src_of_slot, slot_of_src, slot_valid, src_kept, n_src = res
+    g = jnp.where(slot_valid[:, None], g, 0.0)
+    d = g[jnp.clip(slot_of_src, 0, g.shape[0] - 1)]
+    d = jnp.where(src_kept[:, None], d, 0.0)
+    return (d, None, None, None, None)
+
+
+_route_rows.defvjp(_route_rows_fwd, _route_rows_bwd)
+
+
+@jax.custom_vjp
+def _permute_rows(x, perm, inv_perm):
+    """x[perm] with the backward as a gather by the inverse permutation
+    (XLA's transpose of a permutation gather is a row scatter-add —
+    per-element cost at 16 columns; the inverse-gather is per-row)."""
+    return x[perm]
+
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return x[perm], inv_perm
+
+
+def _permute_rows_bwd(inv_perm, g):
+    return (g[inv_perm], None, None)
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 def _pack_feats(sp, screen_dummy_abs=None):
     """(P, 16) packed per-Gaussian feature rows; col 15 carries view depth
     (the cross-shard merge key — non-differentiable, blend ignores it)."""
@@ -145,7 +197,13 @@ def exchange_and_blend(params_view, cam: Camera, rcfg: RasterConfig,
         feats_band = feats_inst
         start, stop = bins.tile_start, bins.tile_stop
     else:
-        # 3. route instances to their band owner (dest monotone in tile id)
+        # 3. route instances to their band owner (dest monotone in tile id).
+        # Binning leaves instances sorted by (tile, depth) with invalid
+        # rows (tile == num_tiles) at the end, so each destination's
+        # instances are one contiguous run: slot (b, q) of the send buffer
+        # is instance seg_start[b] + q — assembly is a fully COHERENT row
+        # gather (with a gather backward via _route_rows), never a
+        # cap-sized 16-wide scatter.
         tile = bins.tile_id                              # sorted ascending
         dest = tile // tiles_per_band                    # invalid → n_bands
         seg_start = jnp.searchsorted(
@@ -156,26 +214,38 @@ def exchange_and_blend(params_view, cam: Camera, rcfg: RasterConfig,
         keep = (bins.inst_valid & (local_pos < exchange_cap)
                 & (dest < n_bands))
         n_overflow = (bins.inst_valid & ~keep).sum()
-        send_idx = jnp.where(keep, dest * exchange_cap + local_pos,
-                             n_bands * exchange_cap)
-        sendf = jnp.zeros((n_bands * exchange_cap, 16), jnp.float32).at[
-            send_idx].set(feats_inst, mode="drop")
-        sendt = jnp.full((n_bands * exchange_cap,), tiles_per_band,
-                         jnp.int32).at[send_idx].set(
-            tile - dest * tiles_per_band, mode="drop")
+        cap_band = n_bands * exchange_cap
+        slot_b = (jnp.arange(cap_band, dtype=jnp.int32)
+                  // jnp.int32(exchange_cap))
+        slot_q = (jnp.arange(cap_band, dtype=jnp.int32)
+                  % jnp.int32(exchange_cap))
+        src_of_slot = seg_start[slot_b] + slot_q
+        slot_valid = slot_q < (seg_start[slot_b + 1] - seg_start[slot_b])
+        slot_of_src = dest * exchange_cap + local_pos
+        sendf = _route_rows(feats_inst, src_of_slot, slot_of_src,
+                            slot_valid, keep)
+        sendt = jnp.where(
+            slot_valid,
+            tile[jnp.clip(src_of_slot, 0, cap_local - 1)]
+            - slot_b * tiles_per_band,
+            tiles_per_band)
         recvf = lax.all_to_all(sendf.reshape(n_bands, exchange_cap, 16),
                                axis_name, 0, 0).reshape(-1, 16)
         recvt = lax.all_to_all(sendt.reshape(n_bands, exchange_cap),
                                axis_name, 0, 0).reshape(-1)
 
-        # 4. merge by (local tile, depth) and blend the band
-        cap_band = recvt.shape[0]
+        # 4. merge by (local tile, depth) and blend the band.  The sort's
+        # permutation is applied through _permute_rows so the backward is
+        # an inverse-permutation gather (the 2-operand payload sort below
+        # recovers the inverse in sequential radix passes).
         depth_key = lax.stop_gradient(recvf[:, 15])
         depth_key = jnp.where(recvt < tiles_per_band, depth_key, jnp.inf)
         sortt, _, perm = lax.sort(
             (recvt, depth_key, jnp.arange(cap_band, dtype=jnp.int32)),
             num_keys=2)
-        feats_band = recvf[perm]
+        inv_perm = lax.sort(
+            (perm, jnp.arange(cap_band, dtype=jnp.int32)), num_keys=1)[1]
+        feats_band = _permute_rows(recvf, perm, inv_perm)
         n_valid = (sortt < tiles_per_band).sum()
         start, stop = binning.tile_ranges_from_sorted(
             sortt, tiles_per_band, n_valid)

@@ -77,7 +77,8 @@ def train(
         row_cap=pipe.row_cap,
     )
 
-    model = init_from_points(scene.points, scene.colors, mp.sh_degree)
+    model = init_from_points(scene.points, scene.colors, mp.sh_degree,
+                             capacity=mp.init_capacity or None)
     net = None
     net_params = net_opt = None
     if opt.use_color_aggregation:

@@ -42,9 +42,10 @@ def _gauss_window(size: int = 11, sigma: float = 1.5):
     return np.asarray(w / w.sum())   # numpy host constant — safe to cache
 
 
-def _blur(img: jnp.ndarray, size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+def _sep_blur(img: jnp.ndarray, axes, size: int = 11,
+              sigma: float = 1.5) -> jnp.ndarray:
     """Separable Gaussian blur with zero padding (matches torch conv2d
-    padding=size//2 in the reference). img: (H, W, C).
+    padding=size//2 in the reference), along the given axes in order.
 
     Implemented as unrolled shift-and-add on the VPU: an 11-tap blur is
     ~70 MFLOP — exact f32 and fused by XLA into two loop fusions.  The MXU
@@ -54,7 +55,6 @@ def _blur(img: jnp.ndarray, size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     cost 68 ms/step at 960×544 vs ~2 ms for this formulation (measured)."""
     w = _gauss_window(size, sigma)
     pad = size // 2
-    H, W = img.shape[0], img.shape[1]
 
     def along(x, axis):
         padw = [(0, 0)] * x.ndim
@@ -67,11 +67,44 @@ def _blur(img: jnp.ndarray, size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
             acc = t if acc is None else acc + t
         return acc
 
-    return along(along(img, 0), 1)
+    for ax in axes:
+        img = along(img, ax)
+    return img
+
+
+def _blur(img: jnp.ndarray, size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    """(H, W, C) blur (H pass then W pass)."""
+    return _sep_blur(img, (0, 1), size, sigma)
+
+
+# Stacked channel-leading SSIM (IBGS_SSIM_STACKED=1): one (5C, H, W)
+# leading-axis blur instead of five (H, W, C) blurs — identical per-element
+# op order (bit-exact), fewer op dispatches, and the blur's minor dim
+# becomes the 128-lane-aligned W instead of C=3.  Off by default until the
+# hardware A/B lands (CLAUDE.md: measure before shipping layout changes).
+import os as _os
+_SSIM_STACKED = _os.environ.get("IBGS_SSIM_STACKED", "0") == "1"
+
+
+def _ssim_map_chw(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel SSIM map in (C, H, W) layout from (C, H, W) inputs."""
+    C = a.shape[0]
+    stack = jnp.concatenate([a, b, a * a, b * b, a * b], axis=0)
+    blur = _sep_blur(stack, (1, 2))
+    mu1, mu2, ex2, ey2, exy = (blur[i * C:(i + 1) * C] for i in range(5))
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = ex2 - mu1_sq
+    s2 = ey2 - mu2_sq
+    s12 = exy - mu12
+    return ((2 * mu12 + C1) * (2 * s12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
 
 
 def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel, per-channel SSIM map (H, W, C)."""
+    if _SSIM_STACKED:
+        return jnp.moveaxis(_ssim_map_chw(jnp.moveaxis(img1, -1, 0),
+                                          jnp.moveaxis(img2, -1, 0)), 0, -1)
     mu1 = _blur(img1)
     mu2 = _blur(img2)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
@@ -83,12 +116,18 @@ def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
 
 
 def ssim(img1, img2):
+    if _SSIM_STACKED:
+        return _ssim_map_chw(jnp.moveaxis(img1, -1, 0),
+                             jnp.moveaxis(img2, -1, 0)).mean()
     return ssim_map(img1, img2).mean()
 
 
 def photometric_ssim(ref, warped):
     """Per-pixel channel-mean SSIM (reference compute_photometric_ssim with
     size_average=False then .mean(0))."""
+    if _SSIM_STACKED:
+        return _ssim_map_chw(jnp.moveaxis(ref, -1, 0),
+                             jnp.moveaxis(warped, -1, 0)).mean(0)
     return ssim_map(ref, warped).mean(-1)
 
 

@@ -101,22 +101,25 @@ def main():
                   burned_in=jnp.float32(1.0), net_lr=jnp.float32(1e-3))
 
     def time_chain(step_fn, pack_args, label):
-        """step_fn(state, it) -> new_state; chains `iters` steps."""
-        def chain(state, *args):
+        """step_fn(state, it) -> new_state; chains `iters` steps.  The trip
+        count is a TRACED argument (bench.py round-5): a static count lets
+        XLA unroll the while loop, which cost these chains 835-1013 s of
+        cold compile in round 4."""
+        def chain(state, k, *args):
             def body(i, st):
                 return step_fn(st, jnp.int32(100) + i, *args)
-            st = lax.fori_loop(0, iters, body, state)
+            st = lax.fori_loop(0, k, body, state)
             return st.model.params.xyz.sum()
 
         fit = jax.jit(chain)
         t0 = time.time()
-        v = float(fit(state, *pack_args))
+        v = float(fit(state, jnp.int32(iters), *pack_args))
         compile_s = time.time() - t0
         assert np.isfinite(v), (label, v)
         best = np.inf
         for _ in range(repeats):
             t1 = time.time()
-            float(fit(state, *pack_args))
+            float(fit(state, jnp.int32(iters), *pack_args))
             best = min(best, time.time() - t1)
         ms = best / iters * 1e3
         print(json.dumps({"variant": label, "step_ms": round(ms, 2),
@@ -153,9 +156,17 @@ def main():
         return
 
     # --- GSP on a 1x1 mesh ---
+    # GSPTAX_GENERIC=1 forces the generic exchange path (VERDICT r4 #4):
+    # exchange_cap just below cap_local bypasses the identity fast path
+    # while dropping nothing at the bench scene (524k instances < cap-1),
+    # so the measured delta is the pure scatter→all_to_all→merge→permute
+    # machinery cost at full (unsharded) sizes — its single-chip upper
+    # bound.
+    generic = os.environ.get("GSPTAX_GENERIC", "0") == "1"
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "gs"))
     gstep = gsp_full_train_step(opt, rcfg, net, phase, mesh, W, H,
-                                cap_local=cap, exchange_cap=cap)
+                                cap_local=cap,
+                                exchange_cap=cap - 1 if generic else cap)
     cam_arrays = _cam_stack([cam])
 
     def gsp1(st, it, gt, src, cam_arrays):
@@ -165,10 +176,12 @@ def main():
                              **common)
         return new_st
 
-    ms_g = time_chain(gsp1, (gt, src, cam_arrays), "gsp_1x1")
+    label = "gsp_1x1_generic" if generic else "gsp_1x1"
+    ms_g = time_chain(gsp1, (gt, src, cam_arrays), label)
 
     print(json.dumps({
-        "metric": "GSP tax at bench scene",
+        "metric": "GSP tax at bench scene"
+                  + (" (generic exchange forced)" if generic else ""),
         "unsharded_ms": round(ms_u, 2), "gsp_1x1_ms": round(ms_g, 2),
         "tax_ms": round(ms_g - ms_u, 2),
         "tax_pct": round(100 * (ms_g - ms_u) / ms_u, 1)}), flush=True)

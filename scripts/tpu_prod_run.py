@@ -70,8 +70,10 @@ def main():
 
     t0 = time.time()
     evals = tuple(range(1000, iters + 1, 1000))
+    mp = ModelParams(sh_degree=2, init_capacity=int(
+        os.environ.get("PROD_INIT_CAPACITY", 0)))
     state, _stacks = train(
-        scene, ModelParams(sh_degree=2), opt, pipe, model_path=out,
+        scene, mp, opt, pipe, model_path=out,
         save_iterations=(iters,), test_iterations=evals,
         checkpoint_iterations=tuple(range(1000, iters, 1000)),
         start_checkpoint=start_ckpt,

@@ -272,6 +272,33 @@ def test_gsp_single_band_fast_path_matches_generic():
                                np.asarray(ref.render), rtol=1e-5, atol=1e-6)
 
 
+def test_generic_exchange_gradients_match_fast_path():
+    """The gather-only routing (_route_rows/_permute_rows custom VJPs —
+    no 16-wide scatter in forward or backward) must carry EXACTLY the
+    same gradients as the identity fast path: force the generic
+    scatter→all_to_all→merge→permute composition at n_gs=1 with
+    exchange_cap < cap_local and compare d(loss)/d(params) bit-for-bit."""
+    from ibgs_tpu.parallel.gsp import make_gsp_render
+
+    model, cam = _model(seed=7, n=60, cap=128, H=128, W=32)
+    mesh = make_mesh(1, 1, axis_names=("dp", "gs"))
+
+    def grad_of(exchange_cap):
+        render = make_gsp_render(cam.width, cam.height, CFG, mesh,
+                                 cap_local=1024, exchange_cap=exchange_cap)
+
+        def loss(params):
+            img, _ = render(model.replace(params=params), cam)
+            return (img * jnp.arange(3)[None, None]).sum()
+
+        return jax.grad(loss)(model.params)
+
+    g_fast = grad_of(1024)       # identity fast path
+    g_gen = grad_of(512)         # generic exchange (nothing drops)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_gen)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_gsp_overflow_counter():
     """A too-small exchange capacity reports dropped instances instead of
