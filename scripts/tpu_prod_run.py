@@ -80,6 +80,22 @@ def main():
         log_every=int(os.environ.get("PROD_LOG_EVERY", 100)), quiet=False)
     wall = time.time() - t0
 
+    # Optional converged-scene bench bundle (bench.py BENCH_CKPT):
+    # PROD_BUNDLE=<path>.  The aggressive-densify config of this driver
+    # (PROD_GRAD_TH=8e-5 PROD_ABS_TH=1.6e-4) is the bundle source of
+    # choice — it converges at a perf-representative splat count, unlike
+    # the faithful reference-threshold 30k schedule on this synthetic
+    # scene (whose default thresholds settle near 10k splats).
+    bundle_path = os.environ.get("PROD_BUNDLE", "")
+    if bundle_path:
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from make_bench_bundle import write_bundle
+            write_bundle(bundle_path, jax.device_get(state.model), scene,
+                         _stacks["depths"], cam_idx=0, opt=opt)
+        except Exception as e:
+            print(f"bundle write failed: {e}", flush=True)
+
     mem = {}
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
