@@ -134,12 +134,26 @@ def init_from_points(points: np.ndarray, colors: np.ndarray,
     pts = jnp.asarray(points, jnp.float32)
     K = shlib.num_coeffs(max_sh_degree)
 
+    if n > 200_000:
+        # Reference-scale seeds (1M+): the exact device 3-NN is O(N^2)
+        # MXU flops with a (block, N)-sized f32 intermediate (4 GB at
+        # N=1M) — use the native Morton/box-culled host KNN instead
+        # (native/ibgs_native.cpp, the simple_knn.cu analog; seconds at
+        # 1M points, exact).
+        from ibgs_tpu.utils import native as _native
+        d2 = np.clip(_native.knn_mean_sq_dist_3(np.asarray(points)),
+                     1e-7, None)
+        log_scales = jnp.asarray(
+            np.repeat(np.log(np.sqrt(d2))[:, None], 3, axis=1), jnp.float32)
+    else:
+        log_scales = initial_log_scales(pts)
+
     params = GaussianParams(
         xyz=_grow(pts, capacity),
         sh_dc=_grow(shlib.rgb_to_sh0(jnp.asarray(colors, jnp.float32))[:, None, :],
                     capacity),
         sh_rest=jnp.zeros((capacity, K - 1, 3), jnp.float32),
-        log_scale=_grow(initial_log_scales(pts), capacity),
+        log_scale=_grow(log_scales, capacity),
         quat=_grow(jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (n, 1)),
                    capacity),
         opacity_logit=_grow(
