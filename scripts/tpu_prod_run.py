@@ -64,6 +64,7 @@ def main():
     pipe = PipelineParams(
         backend=os.environ.get("PROD_BACKEND", "pallas"),
         instance_cap=int(os.environ.get("PROD_CAP", 1 << 19)),
+        row_cap=int(os.environ.get("PROD_ROWCAP", 0)),
         staircase_cull=True,
         debug=os.environ.get("PROD_DEBUG", "0") == "1")
     start_ckpt = sys.argv[2] if len(sys.argv) > 2 else None
