@@ -287,7 +287,7 @@ def main():
         prof_dir = os.environ.get("BENCH_PROFILE")
         if prof_dir:
             from ibgs_tpu.utils.profiling import trace
-            with trace(os.path.join(prof_dir, label)):
+            with trace(os.path.join(prof_dir, f"{label}_{W}x{H}")):
                 float(step(model.params, src, gt, jnp.int32(iters)))
 
         best = float("inf")
