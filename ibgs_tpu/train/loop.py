@@ -449,6 +449,28 @@ def train(
             if it > opt.densify_from_iter and it % opt.densification_interval == 0:
                 key, sub = jax.random.split(key)
                 max_screen = 20.0 if it > opt.opacity_reset_interval else None
+                # PRE-growth: if occupancy is already near capacity, grow
+                # BEFORE the densify so clone/split are never slot-starved
+                # (the reference concatenates, so its candidates never
+                # compete for slots — gaussian_model.py:362-515).  Also a
+                # measured robustness fix: the densify graph's XLA peak
+                # memory is occupancy-shape-dependent on v5e (1M alive
+                # OOMs at 99.5%/95.4% occupancy, passes at <=90%), and
+                # post-growth the same event runs with headroom.
+                n_alive = int(state.model.n_alive)
+                if (n_alive > 0.9 * state.model.capacity
+                        and state.model.capacity < opt.max_all_points):
+                    newcap = min(state.model.capacity * 2,
+                                 1 << int(np.ceil(np.log2(opt.max_all_points))))
+                    grown = grow_capacity(jax.device_get(state.model)
+                                          if mesh is not None
+                                          else state.model, newcap)
+                    if mesh is not None:
+                        from ibgs_tpu.parallel.gsp import gsp_interleave
+                        grown = gsp_interleave(grown, n_gs)
+                    state = state.replace(model=grown)
+                    print(f"[it {it}] capacity -> {newcap} (pre-densify)",
+                          flush=True)
                 if mesh is None:
                     state = state.replace(model=densify_step(
                         state.model, sub, dcfg,

@@ -151,3 +151,31 @@ def test_debug_mode_dumps_snapshot_on_nonfinite(tmp_path):
     assert os.path.exists(snap)
     d = np.load(snap)
     assert d["xyz"].shape[1] == 3 and np.isfinite(d["xyz"]).all()
+
+
+def test_pregrowth_fires_before_densify(tmp_path, capsys):
+    """A model arriving at a densify event above 90% occupancy must grow
+    capacity BEFORE the densify (loop.py pre-growth), so clone/split never
+    run slot-starved near-full."""
+    scene = make_synthetic_scene(n_views=4, width=32, height=32,
+                                 n_gt=300, n_seed=150)
+    opt = OptimizationParams(
+        iterations=4, densify_from_iter=1, densification_interval=2,
+        densify_until_iter=4, opacity_reset_interval=10_000,
+        use_color_aggregation=False,
+        single_view_weight_from_iter=10_000,
+        multi_view_weight_from_iter=10_000,
+        number_src_frames=2, position_lr_max_steps=10,
+        # thresholds high: the densify itself adds ~nothing, so any
+        # growth must come from the PRE-densify occupancy check
+        densify_grad_threshold=1e9, densify_abs_grad_threshold=1e9)
+    # 150 alive seeds in capacity 160 -> 93.75% occupancy at the event
+    pipe = PipelineParams(backend="oracle", instance_cap=1 << 14)
+    state, _ = train(
+        scene, ModelParams(sh_degree=1, init_capacity=160), opt, pipe,
+        model_path=str(tmp_path), save_iterations=(), log_every=10,
+        quiet=True)
+    out = capsys.readouterr().out
+    assert "(pre-densify)" in out, out
+    assert state.model.capacity == 320
+    assert int(state.model.n_alive) >= 1
