@@ -79,9 +79,10 @@ def _blur(img: jnp.ndarray, size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 # Stacked channel-leading SSIM (IBGS_SSIM_STACKED=1): one (5C, H, W)
 # leading-axis blur instead of five (H, W, C) blurs — identical per-element
-# op order (bit-exact), fewer op dispatches, and the blur's minor dim
-# becomes the 128-lane-aligned W instead of C=3.  Off by default until the
-# hardware A/B lands (CLAUDE.md: measure before shipping layout changes).
+# op order (bit-exact), fewer op dispatches.  Hardware A/B
+# (scripts/ssim_ab.py, v5e, 1080p fwd+bwd): stacked 14.41 ms vs hwc
+# 8.11 ms — the (H, W, C) separable blur chain fuses BETTER despite the
+# C=3 minor dim, so the flag stays OFF; kept for layout experiments.
 import os as _os
 _SSIM_STACKED = _os.environ.get("IBGS_SSIM_STACKED", "0") == "1"
 
